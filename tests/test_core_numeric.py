@@ -1,0 +1,58 @@
+"""Golden + differential tests for the numeric mention extractor
+(parity target: reference improved_preprocessing.preprocess_query)."""
+
+from __future__ import annotations
+
+import pytest
+
+from x5_ner_spark.core.numeric import numeric_spans
+from tests.conftest import has_reference, load_reference_module
+
+# pinned golden pairs (verified byte-identical against the reference module;
+# sources: ref __main__ suites improved_preprocessing.py:421-488 and
+# docs/thinks.md expected annotations)
+GOLDEN = [
+    ("молоко 1 %", [(7, 8, "B-PERCENT"), (9, 10, "I-PERCENT")]),
+    ("кефир 1%", [(6, 8, "B-PERCENT")]),
+    ("сливки 33 %", [(7, 9, "B-PERCENT"), (10, 11, "I-PERCENT")]),
+    ("сметна 20", [(7, 9, "B-PERCENT")]),  # typo within ED(1) of 'сметана'
+    ("малако 3,2", [(7, 10, "B-PERCENT")]),  # fuzz.ratio('малако','молоко')>=80
+    ("молоко 2 л", [(7, 8, "B-VOLUME"), (9, 10, "I-VOLUME")]),
+    ("вода 6x1л", [(5, 6, "B-VOLUME"), (6, 9, "I-VOLUME")]),
+    ("вода 6 x 1 л", [(5, 6, "B-VOLUME"), (7, 12, "I-VOLUME")]),
+    ("сок 2*0.5 л", [(4, 5, "B-VOLUME"), (5, 9, "I-VOLUME"), (10, 11, "I-VOLUME")]),
+    ("напиток 3×200 мл", [(8, 9, "B-VOLUME"), (9, 13, "I-VOLUME"), (14, 16, "I-VOLUME")]),
+    ("вода питьевая большой объём", [(14, 21, "B-VOLUME"), (22, 27, "I-VOLUME")]),
+    ("вода пять литров", [(5, 9, "B-VOLUME"), (10, 16, "I-VOLUME")]),
+    ("вода шишкин лес 5литров", [(16, 23, "B-VOLUME")]),
+    ("колготки размер 5", []),  # 'размер N' guard
+    ("пакеты 60 л", [(7, 9, "B-VOLUME"), (10, 11, "I-VOLUME")]),
+    ("вода две упаковки", [(5, 8, "B-VOLUME"), (9, 17, "I-VOLUME")]),
+    ("сахар пол килограмма", [(6, 9, "B-VOLUME"), (10, 20, "I-VOLUME")]),
+    ("масло пол-литра", [(6, 15, "B-VOLUME")]),
+    ("молоко полтора литра", [(7, 14, "B-VOLUME"), (15, 20, "I-VOLUME")]),
+    ("кефир пять процентов", [(6, 10, "B-PERCENT"), (11, 20, "I-PERCENT")]),
+    ("сыр ноль процентов", [(4, 8, "B-PERCENT"), (9, 18, "I-PERCENT")]),
+    ("майонез двадцать пять процентов", [(8, 16, "B-PERCENT"), (17, 31, "I-PERCENT")]),
+    ("кефир 0", [(6, 7, "B-PERCENT")]),  # bare zero → PERCENT
+    ("масло сливочное 72", []),  # no fatty context within fallback lexicon
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN)
+def test_numeric_golden(text, expected):
+    assert numeric_spans(text) == expected
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not present")
+def test_numeric_differential_vs_reference():
+    ref = load_reference_module("ner.improved_preprocessing")
+    extra = [
+        "  молоко 3,2% 1 л  ", "сок 100% 2 шт", "творог 9 процентов 200 г",
+        "размер 44 колготки 20 ден", "вода 5 литровый", "молоко 0,5",
+        "гель для стирки 1,3 л", "сок 0.2", "яйцо 10 шт", "10 % сметана",
+        "шоколад 70% какао 90 г", "чипсы 150г", "пиво 0", "творог 5 процентов",
+    ]
+    for text in [t for t, _ in GOLDEN] + extra:
+        assert numeric_spans(text) == [tuple(x) for x in ref.preprocess_query(text)], text

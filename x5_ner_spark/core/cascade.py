@@ -1,0 +1,159 @@
+"""Word-level mention-decision cascade over per-word class probabilities.
+
+Parity target: /root/reference/ner/infer.py:150-423 (``predict_bio_tokens``),
+run with the working batch path's defaults (``predict_entities``:
+brand_thresh=0.8, entity_thresh=0.55; scripts/make_submission_from_val.py:40).
+
+Two pinned spec decisions (SURVEY.md §7.4):
+- The reference's stray ``break`` (infer.py:319) aborts the WHOLE word loop on
+  the first short low-confidence word, leaving all later words 'O'. We
+  reproduce it (``short_word_break=True``) because the P/R target is measured
+  against the reference's emitted spans.
+- rapidfuzz is absent here; we use the reference's own documented degradation
+  (infer.py:18-21): Levenshtein-only lexicon fuzzy matching with the adaptive
+  distance of infer.py:293-296.
+"""
+
+from __future__ import annotations
+
+from .spans import BIO_TAGS, Span
+from .textnorm import (
+    is_pure_latin,
+    lex_norm,
+    lexicon_levenshtein_hit,
+    norm_basic,
+    norm_token_simple,
+)
+
+# ref: ner/infer.py:27-37 (data sets)
+TYPE_HINTS = frozenset(
+    """молоко сыр творог сметана кефир йогурт сливки масло хлеб батон булка
+    напиток вода сок чай кофе конфеты шоколад печенье паста макароны рис
+    гречка крупа""".split()
+)
+STOPWORDS = frozenset(
+    """и в во на но да или либо для без со от до по о об при над через из у к
+    с а как чем же же-то то ли""".split()
+)
+
+_IDX = {t: i for i, t in enumerate(BIO_TAGS)}
+_CONF_LADDER = (0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6, 0.55)
+
+
+def _looks_like_type_word(word: str) -> bool:
+    t = norm_token_simple(word)
+    return t in TYPE_HINTS and t not in STOPWORDS and not t.isdigit()
+
+
+def _fallback_label(p_type: float, base_label: str = "B-TYPE") -> str:
+    return base_label if p_type >= 0.15 else "O"
+
+
+def decide_word_labels(
+    text: str,
+    word_spans: list[tuple[int, int]],
+    word_probs: list[list[float]],
+    brand_lexicon: frozenset[str] = frozenset(),
+    brand_lexicon_list: list[str] | None = None,
+    *,
+    brand_thresh: float = 0.8,
+    entity_thresh: float = 0.55,
+    short_word_break: bool = True,
+) -> list[Span]:
+    """Run the cascade; returns one ``(start, end, label)`` per word (labels
+    include 'O'), spans whitespace-trimmed, empty spans dropped."""
+    lex_list = brand_lexicon_list if brand_lexicon_list is not None else sorted(brand_lexicon)
+    labels: dict[int, str] = {}
+    prev_lab = "O"
+
+    for wid, (s, e) in enumerate(word_spans):
+        if s >= e:
+            labels[wid] = "O"
+            continue
+        token_text = text[s:e]
+        tok_norm = norm_token_simple(token_text)
+        p = word_probs[wid]
+
+        p_o = float(p[_IDX["O"]])
+        p_bb, p_ib = float(p[_IDX["B-BRAND"]]), float(p[_IDX["I-BRAND"]])
+        p_bt, p_it = float(p[_IDX["B-TYPE"]]), float(p[_IDX["I-TYPE"]])
+        p_brand, p_brand_sum = max(p_bb, p_ib), p_bb + p_ib
+        p_type, p_type_sum = max(p_bt, p_it), p_bt + p_it
+
+        tok_lex = lex_norm(token_text)
+        in_lex = tok_lex in brand_lexicon
+        fuzzy_hit = False
+        if not in_lex and lex_list:
+            max_d = 1 if len(tok_lex) <= 6 else 2
+            fuzzy_hit = lexicon_levenshtein_hit(tok_lex, lex_list, max_d)
+
+        pure_lat = is_pure_latin(tok_norm)
+        short_lat = pure_lat and len(tok_norm) <= 2
+
+        # rule 0a: tiny low-confidence token aborts the loop (reference bug,
+        # reproduced intentionally — see module docstring)
+        if len(tok_norm) <= 2 and p_type < 0.4 and p_brand < 0.4:
+            if short_word_break:
+                break
+            labels[wid] = "O"
+            prev_lab = "O"
+            continue
+
+        # rule 0b: confidence ladder — first hit wins, BRAND > TYPE > O
+        lab = ""
+        decided = False
+        for t in _CONF_LADDER:
+            if p_brand_sum >= t * 1.3 or p_brand > t:
+                lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
+                decided = True
+            elif p_type_sum >= t * 1.3 or p_type > t:
+                lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
+                decided = True
+            elif p_o >= t:
+                lab = "O"
+                decided = True
+            if decided:
+                break
+
+        if not decided:
+            if short_lat and not in_lex and not fuzzy_hit:
+                lab = "O"
+            elif _looks_like_type_word(token_text):
+                strong_brand = p_brand >= max(brand_thresh, p_type + 0.20, entity_thresh + 0.10)
+                if strong_brand and (in_lex or fuzzy_hit):
+                    lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
+                elif p_type >= max(entity_thresh, p_brand + 0.07):
+                    lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
+                else:
+                    lab = _fallback_label(p_type)
+            elif in_lex or fuzzy_hit:
+                if p_type >= max(entity_thresh, p_brand + 0.07):
+                    lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
+                elif p_brand >= 0.20 and p_brand >= p_type - 0.05:
+                    lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
+                else:
+                    lab = _fallback_label(p_type)
+            elif p_type >= max(entity_thresh, p_brand + 0.07):
+                lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
+            elif p_brand >= max(brand_thresh, p_type + 0.10):
+                lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
+            else:
+                lab = _fallback_label(p_type)
+
+        # BIO continuity rewrite vs previous word (infer.py:399-405)
+        if lab != "O":
+            base = lab.split("-", 1)[-1]
+            lab = f"I-{base}" if prev_lab.endswith(base) else f"B-{base}"
+
+        labels[wid] = lab
+        prev_lab = lab
+
+    out: list[Span] = []
+    for wid, (s, e) in enumerate(word_spans):
+        while s < e and text[s].isspace():
+            s += 1
+        while s < e and text[e - 1].isspace():
+            e -= 1
+        if s < e:
+            out.append((s, e, labels.get(wid, "O")))
+    return out

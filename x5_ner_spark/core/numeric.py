@@ -1,0 +1,235 @@
+"""Numeric mention extraction: explicit regex + implicit context inference.
+
+Behavioral parity target (fresh implementation, semantics only):
+/root/reference/ner/improved_preprocessing.py:75-418 — the ``preprocess_query``
+composition: explicit percent/volume/multipack/word-number regexes, implicit
+bare-number classification with fuzzy fatty/pack context, overlap collapse,
+and B/I splitting of spaced or multiplied spans.
+
+All span tuples are ``(start, end, tag)`` with char offsets into the raw text.
+Uses the ``regex`` package (same engine family as the reference) for the
+Unicode-category word pattern; everything else is plain ``re``-compatible.
+"""
+
+from __future__ import annotations
+
+import regex as _rx
+
+from .textnorm import normalize_token, token_close_to_lexicon
+
+Span = tuple[int, int, str]
+
+WORD_RE = _rx.compile(r"\p{L}[\p{L}\p{N}-]*", _rx.UNICODE)
+
+# --- explicit numeric patterns (ref: improved_preprocessing.py:78-126) ---
+RE_PERCENT_SIGN = _rx.compile(r"(?<!\d)\d{1,2}(?:\s*[.,]\s*\d{1,2})?\s*%")
+RE_PERCENT_WORD = _rx.compile(
+    r"\b\d{1,2}(?:[.,]\d)?\s*(?:проц|процент(?:а|ов)?)\b", _rx.IGNORECASE
+)
+UNITS = [
+    "мл", "ml", "l", "л", "г", "гр", "kg", "кг", "шт", "уп", "пак",
+    "ш", "к", "литров", "литровый", "литра",
+]
+_UNIT_ALT = "|".join(UNITS)
+RE_VOLUME = _rx.compile(rf"\b\d+(?:[.,]\d+)?\s*(?:{_UNIT_ALT})\b", _rx.IGNORECASE)
+RE_NUMBER = _rx.compile(r"\b\d+(?:[.,]\d+)?\b")
+RE_MULTIPACK = _rx.compile(
+    rf"\b\d+\s*[x×*]\s*\d+(?:[.,]\d+)?\s*(?:{_UNIT_ALT})\b", _rx.IGNORECASE
+)
+
+# word-number grammar: "пять литров", "двадцать пять процентов", "пол-литра"...
+UNIT_WORDS = [
+    r"литр(?:а|ов)?", r"миллилитр(?:а|ов)?", r"килограмм(?:а|ов)?",
+    r"грамм(?:а|ов)?", r"бутылк(?:а|и|ок)", r"банк(?:а|и|ок)",
+    r"пакет(?:а|ов)?", r"упаковк(?:а|и|ок)", r"рулон(?:а|ов)?",
+    r"лист(?:а|ов)?", r"флакон(?:а|ов)?", r"штук(?:а|и|)?", r"шт",
+]
+_UNIT_WORD_ALT = "|".join(UNIT_WORDS)
+_ONE = r"(?:один|одна|одно)"
+_TWO = r"(?:два|две)"
+_3_9 = r"(?:три|четыре|пять|шесть|семь|восемь|девять)"
+_10_19 = (
+    r"(?:десять|одиннадцать|двенадцать|тринадцать|четырнадцать|пятнадцать"
+    r"|шестнадцать|семнадцать|восемнадцать|девятнадцать)"
+)
+_TENS = r"(?:двадцать|тридцать|сорок|пятьдесят|шестьдесят|семьдесят|восемьдесят|девяносто)"
+_UNIT_1_19 = rf"(?:{_ONE}|{_TWO}|{_3_9}|{_10_19})"
+NUM_WORD = rf"(?:{_TENS}(?:\s+{_3_9})?|{_UNIT_1_19})"
+_HALF = r"(?:пол)(?:\s*|-)?"
+_POLTORA = r"(?:полтор(?:а|ы))"
+_ZERO = r"(?:ноль)"
+_PERC_FORMS = r"(?:процент(?:а|ов)?|проц\.?|проц)"
+
+RE_WORD_PERCENT = _rx.compile(rf"\b(?:{_ZERO}|{NUM_WORD})\s+{_PERC_FORMS}\b", _rx.IGNORECASE)
+RE_HALF_PERCENT = _rx.compile(rf"\b{_HALF}?{_PERC_FORMS}\b", _rx.IGNORECASE)
+RE_WORD_VOLUME = _rx.compile(rf"\b({NUM_WORD})\s+({_UNIT_WORD_ALT})\b", _rx.IGNORECASE)
+RE_HALF_VOLUME = _rx.compile(
+    rf"\b(?:{_HALF}({_UNIT_WORD_ALT})|{_POLTORA}\s+({_UNIT_WORD_ALT}))\b", _rx.IGNORECASE
+)
+
+# lexicons (ref: improved_preprocessing.py:160, 221-222). The reference builds
+# FATTY_WORDS from its private train.csv when present and falls back to this
+# pinned set otherwise; we pin the fallback as the spec.
+FATTY_WORDS = frozenset(
+    normalize_token(w) for w in ["молоко", "кефир", "сливки", "сметана", "творог", "сыр"]
+)
+PACK_WORDS = frozenset(
+    normalize_token(w)
+    for w in ["бутыл", "банка", "пакет", "упаков", "рулон", "лист", "пачк", "флакон"]
+)
+SIZE_WORDS = frozenset({normalize_token("размер")})
+
+
+def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """Word tokens with char offsets (ref word pattern improved_preprocessing.py:12)."""
+    return [(m.group(0), m.start(), m.end()) for m in WORD_RE.finditer(text)]
+
+
+def explicit_numeric_spans(text: str) -> list[Span]:
+    """Explicit percent/volume/multipack/word-number mentions
+    (ref: improved_preprocessing.py:163-207)."""
+    out: list[Span] = []
+    for rx in (RE_PERCENT_SIGN, RE_PERCENT_WORD, RE_WORD_PERCENT, RE_HALF_PERCENT):
+        for m in rx.finditer(text):
+            out.append((m.start(), m.end(), "B-PERCENT"))
+    for rx in (RE_MULTIPACK, RE_VOLUME):
+        for m in rx.finditer(text):
+            out.append((m.start(), m.end(), "B-VOLUME"))
+    out.extend(word_number_volume_spans(text))
+
+    # adjective + volume-noun phrases: "больш*/огромн*" + "объем*/обьем*"
+    toks = tokenize_with_offsets(text)
+    norms = [normalize_token(t) for t, _, _ in toks]
+    for i in range(len(toks) - 1):
+        a, b = norms[i], norms[i + 1]
+        if not a or not b:
+            continue
+        if (a.startswith("больш") or a.startswith("огромн")) and (
+            b.startswith("объем") or b.startswith("обьем")
+        ):
+            out.append((toks[i][1], toks[i][2], "B-VOLUME"))
+            out.append((toks[i + 1][1], toks[i + 1][2], "I-VOLUME"))
+    return sorted(out)
+
+
+def word_number_volume_spans(text: str) -> list[Span]:
+    """ref: improved_preprocessing.py:210-218."""
+    out: list[Span] = []
+    for rx in (RE_WORD_VOLUME, RE_HALF_VOLUME):
+        for m in rx.finditer(text):
+            out.append((m.start(), m.end(), "B-VOLUME"))
+    return out
+
+
+def implicit_numeric_spans(text: str, fatty_words: frozenset[str] = FATTY_WORDS) -> list[Span]:
+    """Classify bare numbers by context (ref: improved_preprocessing.py:225-274):
+    0 → PERCENT; 1..99 near a fatty-product word → PERCENT; ≥100 or (pack word
+    nearby and ≥2) → VOLUME; 'размер N' → skipped."""
+    toks = [(normalize_token(t), s, e) for t, s, e in tokenize_with_offsets(text)]
+
+    explicit: list[tuple[int, int]] = []
+    for rx in (RE_PERCENT_SIGN, RE_PERCENT_WORD, RE_MULTIPACK, RE_VOLUME):
+        for m in rx.finditer(text):
+            explicit.append(m.span())
+
+    def overlaps_explicit(s: int, e: int) -> bool:
+        return any(es < e and ee > s for es, ee in explicit)
+
+    def neighbors(pos: int, window: int = 20) -> list[str]:
+        lo, hi = pos - window, pos + window
+        return [t for t, s, e in toks if s < hi and e > lo and t]
+
+    out: list[Span] = []
+    for m in RE_NUMBER.finditer(text):
+        s, e = m.span()
+        if overlaps_explicit(s, e):
+            continue
+        raw = text[s:e]
+        if RE_PERCENT_SIGN.search(raw):
+            continue
+        try:
+            val = float(raw.replace(",", "."))
+        except ValueError:
+            continue
+        neigh = neighbors((s + e) // 2)
+        if any(w in SIZE_WORDS for w in neigh):
+            continue
+        near_fatty = any(token_close_to_lexicon(w, fatty_words) for w in neigh)
+        near_pack = any(token_close_to_lexicon(w, PACK_WORDS) for w in neigh)
+        tag = None
+        if val == 0:
+            tag = "B-PERCENT"
+        elif 1 <= val <= 99 and near_fatty:
+            tag = "B-PERCENT"
+        elif val >= 100 or (near_pack and val >= 2):
+            tag = "B-VOLUME"
+        if tag:
+            out.append((s, e, tag))
+    return out
+
+
+def collapse_overlaps(spans: list[Span]) -> list[Span]:
+    """Union same-label overlapping spans, single sorted pass against the last
+    accepted span (ref: improved_preprocessing.py:364-398)."""
+    if not spans:
+        return []
+    out: list[Span] = []
+    for s, e, tag in sorted(spans):
+        if out:
+            ls, le, lt = out[-1]
+            if tag == lt and not (e <= ls or s >= le):
+                if s >= ls and e <= le:  # contained → drop
+                    continue
+                if ls >= s and le <= e:  # contains → replace
+                    out[-1] = (s, e, tag)
+                    continue
+                out[-1] = (min(s, ls), max(e, le), tag)  # partial → union
+                continue
+        out.append((s, e, tag))
+    return out
+
+
+def _split_spaced(text: str, spans: list[Span], base: str) -> list[Span]:
+    """Split ``B-{base}`` spans containing a space at the FIRST space into a
+    B- head and an I- tail, skipping the space char itself
+    (ref: improved_preprocessing.py:277-333)."""
+    out: list[Span] = []
+    want = f"B-{base}"
+    for s, e, tag in spans:
+        if tag == want:
+            seg = text[s:e]
+            idx = seg.find(" ")
+            if idx != -1:
+                out.append((s, s + idx, want))
+                out.append((s + idx + 1, e, f"I-{base}"))
+                continue
+        out.append((s, e, tag))
+    return out
+
+
+def _split_multipack(text: str, spans: list[Span]) -> list[Span]:
+    """Split B-VOLUME at the first x/×/* multiplier char
+    (ref: improved_preprocessing.py:336-361)."""
+    out: list[Span] = []
+    for s, e, tag in spans:
+        if tag == "B-VOLUME":
+            m = _rx.search(r"[x×*]", text[s:e])
+            if m:
+                cut = s + m.start()
+                if s < cut < e:
+                    out.append((s, cut, "B-VOLUME"))
+                    out.append((cut, e, "I-VOLUME"))
+                    continue
+        out.append((s, e, tag))
+    return out
+
+
+def numeric_spans(text: str, fatty_words: frozenset[str] = FATTY_WORDS) -> list[Span]:
+    """The full numeric preprocessor (ref ``preprocess_query``,
+    improved_preprocessing.py:401-418)."""
+    merged = collapse_overlaps(
+        sorted(explicit_numeric_spans(text) + implicit_numeric_spans(text, fatty_words))
+    )
+    out = _split_spaced(text, merged, "PERCENT")
+    out = _split_spaced(text, out, "VOLUME")
+    return _split_multipack(text, out)

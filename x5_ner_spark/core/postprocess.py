@@ -1,0 +1,189 @@
+"""Span post-processing: merge policy, stitching, guards, preposition zeroing.
+
+Parity target: /root/reference/ner/postprocess.py:111-548 (fresh
+implementation of the same sequential conflict policies).
+"""
+
+from __future__ import annotations
+
+import regex as _rx
+
+from .numeric import numeric_spans
+
+Span = tuple[int, int, str]
+
+RE_NUMERIC_ONLY = _rx.compile(r"^\s*\d+(?:[.,]\d+)?\s*$")
+_RE_SEPARATORS_PROBE = _rx.compile(r"[\p{L}\p{N}]")
+_RE_SIZE_NUM = _rx.compile(r"\bразмер\b\s*(\d+)\b", _rx.IGNORECASE)
+
+# ref: postprocess.py:45-108 (verbatim data set, incl. the reference's own
+# typo entries like "доя"/"дл" which are load-bearing for parity)
+PREPOSITIONS = frozenset(
+    """в во на к ко от до из изо с со у за для по о об обо при через над под
+    перед между про без около вокруг после среди вне кроме ради согласно
+    насчёт насчет вместо вроде наперекор вопреки сквозь путём путем благодаря
+    из-за изза из-под изпод вслед навстречу мимо вдоль поперёк поперек вглубь
+    вширь вокрест попросту доя мытья дл""".split()
+)
+_ZERO_NEXT_WORDS = PREPOSITIONS | {"все"}
+
+_STRIP_CHARS = " \t\r\n .,!?:;\"'«»()[]{}-—"
+
+
+def span_is_numeric(text: str, s: int, e: int) -> bool:
+    """±1-char-expanded window is a bare number (ref: postprocess.py:111-116)."""
+    s -= 1
+    e += 1
+    if s < 0 or e > len(text) or s >= e:
+        return False
+    return bool(RE_NUMERIC_ONLY.match(text[s:e]))
+
+
+def only_separators(text: str, s: int, e: int) -> bool:
+    """No letter/digit between two spans → 'adjacent' (ref: postprocess.py:130-138)."""
+    if s >= e:
+        return True
+    return _RE_SEPARATORS_PROBE.search(text[s:e]) is None
+
+
+def _prep_norm(token_text: str) -> str:
+    """ref: postprocess.py:141-143."""
+    return token_text.strip().strip(_STRIP_CHARS).lower()
+
+
+def zero_after_prepositions(text: str, spans: list[Span]) -> list[Span]:
+    """If span i is 'O' and its text is a preposition (or 'все'), relabel span
+    i+1 to 'O' (ref: postprocess.py:146-175). Sequential: a zeroed span can
+    itself zero its successor."""
+    if not spans:
+        return spans
+    out = [list(sp) for sp in spans]
+    for i in range(len(out) - 1):
+        s, e, tag = out[i]
+        if tag == "O" and _prep_norm(text[s:e]) in _ZERO_NEXT_WORDS:
+            out[i + 1][2] = "O"
+    return [(int(a), int(b), str(c)) for a, b, c in out]
+
+
+def stitch_consecutive_b_to_i(text: str, spans: list[Span]) -> list[Span]:
+    """Adjacent same-type B-TYPE/B-BRAND runs become B- then I-
+    (ref: postprocess.py:178-207). Chain state resets on any non-TYPE/BRAND."""
+    if not spans:
+        return spans
+    out: list[Span] = []
+    prev_end: int | None = None
+    prev_core: str | None = None
+    for s, e, tag in sorted(spans, key=lambda x: (x[0], x[1], x[2])):
+        if tag.startswith("B-") and prev_core is not None:
+            core = tag.split("-", 1)[1]
+            if core == prev_core and only_separators(text, prev_end, s):
+                tag = f"I-{core}"
+        out.append((s, e, tag))
+        core = tag.split("-", 1)[1] if "-" in tag else None
+        if core in ("TYPE", "BRAND"):
+            prev_end, prev_core = e, core
+        else:
+            prev_end = prev_core = None
+    return out
+
+
+def _is_numeric_tag(tag: str) -> bool:
+    return tag.split("-")[-1].upper() in ("VOLUME", "PERCENT")
+
+
+def merge_model_and_numeric(text: str, base: list[Span], add: list[Span]) -> list[Span]:
+    """Conflict policy for model spans × numeric-preproc spans
+    (ref: postprocess.py:210-294):
+    - numeric(base) vs numeric(add)      → prefer add, drop base
+    - TYPE/BRAND(base) vs numeric(add)   → keep base, UNLESS base is TYPE and
+      the overlap text is purely numeric → numeric wins
+    - exact duplicate                    → keep one
+    - other overlaps                     → keep base, drop add
+    Order-dependent sequential fold; do not parallelize within a row."""
+    if not add:
+        return sorted(set(base), key=lambda x: (x[0], x[1], x[2]))
+    out: list[Span] = list(base)
+    for s, e, t in add:
+        keep_add = True
+        kept: list[Span] = []
+        for ss, ee, tt in out:
+            if s == ss and e == ee and t == tt:
+                keep_add = False
+                kept.append((ss, ee, tt))
+                continue
+            if ss < e and ee > s:  # overlap
+                base_num = _is_numeric_tag(tt)
+                add_num = _is_numeric_tag(t)
+                if add_num and base_num:
+                    continue  # drop base numeric, the add span replaces it
+                if add_num and not base_num:
+                    if tt.startswith(("B-TYPE", "I-TYPE")) and span_is_numeric(
+                        text, max(s, ss), min(e, ee)
+                    ):
+                        continue  # number inside TYPE → numeric wins
+                    keep_add = False
+                    kept.append((ss, ee, tt))
+                    continue
+                keep_add = False
+                kept.append((ss, ee, tt))
+                continue
+            kept.append((ss, ee, tt))
+        out = kept
+        if keep_add:
+            out.append((s, e, t))
+    return sorted(set(out), key=lambda x: (x[0], x[1], x[2]))
+
+
+def fix_first_span(text: str, spans: list[Span]) -> list[Span]:
+    """Re-anchor the first span to skip leading whitespace
+    (ref: postprocess.py:440-457)."""
+    if not spans:
+        return spans
+    s, e, tag = spans[0]
+    lead = len(text) - len(text.lstrip())
+    if s != lead:
+        head = (lead, e, f"B-{tag.split('-', 1)[-1]}")
+    else:
+        head = (s, e, tag)
+    return [head, *spans[1:]]
+
+
+def zeroize_percent_after_size(text: str, spans: list[Span]) -> list[Span]:
+    """PERCENT spans overlapping the digits of 'размер N' (and lacking a '%')
+    → 'O' (ref: postprocess.py:467-497)."""
+    if not spans:
+        return spans
+    size_nums = [m.span(1) for m in _RE_SIZE_NUM.finditer(text)]
+    if not size_nums:
+        return spans
+    out: list[Span] = []
+    for s, e, tag in spans:
+        if tag.endswith("PERCENT") and any(ss < e and ee > s for ss, ee in size_nums):
+            if "%" not in text[s:e]:
+                out.append((s, e, "O"))
+                continue
+        out.append((s, e, tag))
+    return out
+
+
+def postprocess(
+    text: str,
+    spans: list[Span],
+    *,
+    do_split_type: bool = True,
+    do_boost_numeric: bool = True,
+    do_replace_after_prepositions: bool = True,
+) -> list[Span]:
+    """Full post-process composition (ref: postprocess.py:500-548). Note the
+    reference's enabled path only runs ``fix_first_span`` under
+    ``do_split_type`` (expand/split calls are commented out there)."""
+    out = spans
+    if do_split_type:
+        out = fix_first_span(text, out)
+    if do_boost_numeric:
+        out = merge_model_and_numeric(text, out, numeric_spans(text))
+    out = stitch_consecutive_b_to_i(text, out)
+    out = zeroize_percent_after_size(text, out)
+    if do_replace_after_prepositions:
+        out = zero_after_prepositions(text, out)
+    return sorted(set(out), key=lambda x: (x[0], x[1], x[2]))

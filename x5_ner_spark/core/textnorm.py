@@ -1,0 +1,151 @@
+"""Token / text normalization and fuzzy-match primitives.
+
+Behavioral parity targets (semantics only, fresh implementation):
+- /root/reference/ner/infer.py:40-59   (norm, _normalize_token, _lex_norm)
+- /root/reference/ner/improved_preprocessing.py:18-72
+  (normalize_token, edit_distance, token_close_to_lexicon)
+- rapidfuzz ``fuzz.ratio`` (indel similarity) — reimplemented here because
+  rapidfuzz is not a baked-in dependency; ``fuzz.ratio`` is defined as
+  ``(1 - indel_distance/(len_a+len_b)) * 100``.
+"""
+
+from __future__ import annotations
+
+import re
+
+_YO_RE = re.compile("[ёЁ]")
+# stdlib-re portable "unicode letter" class: \w minus digits minus underscore
+_NOT_LETTER_DIGIT_DASH = re.compile(r"[^\w\-]+|_+", re.UNICODE)
+_LETTER_RUN = re.compile(r"([^\W\d_])\1{2,}", re.UNICODE)
+_NOT_ALNUM_RU_LAT = re.compile(r"[^0-9a-zA-Zа-яё]+")
+_NOT_ALNUM_RU_LAT_NO_YO = re.compile(r"[^0-9a-zA-Zа-я]+")
+_PURE_LATIN = re.compile(r"[A-Za-z]+")
+_LATIN_VOWEL = re.compile(r"[AEIOUYaeiouy]")
+
+
+def norm_basic(s: str) -> str:
+    """lower + strip + ё→е  (ref: ner/infer.py:40-43)."""
+    return _YO_RE.sub("е", s.lower().strip())
+
+
+def norm_token_simple(s: str) -> str:
+    """lower + drop everything outside [0-9a-zа-яё]  (ref: ner/infer.py:51-53)."""
+    return _NOT_ALNUM_RU_LAT.sub("", s.lower())
+
+
+def lex_norm(s: str) -> str:
+    """Lexicon-key normalization: lower, ё→е, alnum-only (ref: ner/infer.py:56-59)."""
+    return _NOT_ALNUM_RU_LAT_NO_YO.sub("", norm_basic(s))
+
+
+def normalize_token(tok: str) -> str:
+    """lower, ё→е, keep letters/digits/dash, collapse 3+ letter repeats
+    (ref: ner/improved_preprocessing.py:18-24)."""
+    t = _YO_RE.sub("е", tok.lower())
+    t = _NOT_LETTER_DIGIT_DASH.sub("", t)
+    return _LETTER_RUN.sub(r"\1", t)
+
+
+def is_pure_latin(s: str) -> bool:
+    return bool(_PURE_LATIN.fullmatch(s)) if s else False
+
+
+def has_latin_vowel(s: str) -> bool:
+    return bool(_LATIN_VOWEL.search(s))
+
+
+def edit_distance(a: str, b: str, cutoff: int | None = None) -> int:
+    """Levenshtein distance; with ``cutoff`` returns ``cutoff + 1`` as soon as
+    the true distance provably exceeds it (ref: ner/infer.py:75-115)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if cutoff is not None and abs(la - lb) > cutoff:
+        return cutoff + 1
+    if la == 0 or lb == 0:
+        return la + lb
+    if la < lb:
+        a, b, la, lb = b, a, lb, la
+    row = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev_diag = row[0]
+        row[0] = i
+        best = i
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur = row[j]
+            cand = min(cur + 1, row[j - 1] + 1, prev_diag + (ca != b[j - 1]))
+            row[j] = cand
+            prev_diag = cur
+            if cand < best:
+                best = cand
+        if cutoff is not None and best > cutoff:
+            return cutoff + 1
+    return row[lb]
+
+
+def indel_distance(a: str, b: str) -> int:
+    """Edit distance with insert/delete only (substitution forbidden) —
+    the distance underlying rapidfuzz ``fuzz.ratio``.
+    indel(a, b) = len(a) + len(b) - 2 * LCS(a, b).
+    """
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la + lb
+    if la < lb:
+        a, b, la, lb = b, a, lb, la
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            if ca == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
+        prev = cur
+    lcs = prev[lb]
+    return la + lb - 2 * lcs
+
+
+def fuzz_ratio(a: str, b: str) -> float:
+    """rapidfuzz-compatible ``fuzz.ratio`` in [0, 100]."""
+    total = len(a) + len(b)
+    if total == 0:
+        return 100.0
+    return (1.0 - indel_distance(a, b) / total) * 100.0
+
+
+def token_close_to_lexicon(tok: str, lex: set[str]) -> bool:
+    """Fuzzy lexicon membership (ref: improved_preprocessing.py:48-72):
+    normalize; exact hit; else among length-window (±2) candidates accept
+    fuzz.ratio ≥ 80, else edit distance ≤ 1 (len ≤ 5) / ≤ 2 (longer)."""
+    t = normalize_token(tok)
+    if not t:
+        return False
+    if t in lex:
+        return True
+    lt = len(t)
+    candidates = [w for w in lex if abs(len(w) - lt) <= 2]
+    for w in candidates:
+        if fuzz_ratio(t, w) >= 80.0:
+            return True
+    limit = 1 if lt <= 5 else 2
+    for w in candidates:
+        if edit_distance(t, w, cutoff=limit) <= limit:
+            return True
+    return False
+
+
+def lexicon_levenshtein_hit(term: str, lexicon: list[str], max_distance: int) -> bool:
+    """Any lexicon item within ``max_distance`` of pre-normalized ``term``
+    (ref: ner/infer.py:118-132)."""
+    if not term:
+        return False
+    tlen = len(term)
+    for cand in lexicon:
+        if abs(len(cand) - tlen) > max_distance:
+            continue
+        if edit_distance(term, cand, cutoff=max_distance) <= max_distance:
+            return True
+    return False
