@@ -1,0 +1,152 @@
+"""Spark ↔ oracle parity for the KG pipeline: byte-identical extraction,
+identical spans, triple P/R vs the reference-semantics oracle (≥ 0.95 gate),
+connected components vs union-find, and checkpoint-resume."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from x5_ner_spark.core.html_text import extract_text
+from x5_ner_spark.core.mention_pipeline import extract_triples, final_mention_spans
+from x5_ner_spark.pipeline import canonicalize, extract, graph, mentions, triples
+from x5_ner_spark.pipeline.fixtures import BRANDS, generate_pages, pages_df
+from x5_ner_spark.pipeline.runner import run_pipeline
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, N).cache()
+
+
+def test_fixture_determinism(spark):
+    a = pages_df(spark, 60).orderBy("url").collect()
+    b = pages_df(spark, 60).orderBy("url").collect()
+    assert a == b
+    local = {r["url"]: r for r in map(lambda d: d, generate_pages(60))}
+    for row in a:
+        assert bytes(row["html"]) == local[row["url"]]["html"]
+
+
+def test_extract_byte_identity(spark, pages):
+    docs = extract.run(pages)
+    rows = docs.select("url", "html", "text").collect()
+    assert len(rows) == N
+    for r in rows:
+        assert r["text"] == extract_text(bytes(r["html"])), r["url"]
+        assert len(r["text"]) > 0
+
+
+def test_mentions_match_oracle_exactly(spark, pages):
+    docs = extract.run(pages)
+    lex = [b for b in BRANDS]
+    men = mentions.run(docs.select("url", "text"), lex, spark)
+    rows = men.select("url", "text", "spans").collect()
+    lexset = frozenset(lex)
+    lexlist = sorted(lexset)
+    assert len(rows) == N
+    mismatches = 0
+    for r in rows:
+        got = [(s["start"], s["end"], s["tag"]) for s in r["spans"]]
+        want = final_mention_spans(r["text"], lexset, lexlist)
+        if got != want:
+            mismatches += 1
+    assert mismatches == 0
+
+
+def test_triples_pr_gate(spark, pages):
+    """The BASELINE.json gate: P/R ≥ 0.95 vs the reference-semantics oracle
+    triple set. The engine and oracle share core/, so this should be exact."""
+    docs = extract.run(pages)
+    lex = [b for b in BRANDS]
+    men = mentions.run(docs.select("url", "text"), lex, spark)
+    trip = triples.run(men)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in trip.collect()}
+
+    lexset = frozenset(lex)
+    want = set()
+    for r in extract.run(pages).select("url", "text").collect():
+        for t in extract_triples(r["url"], r["text"], lexset):
+            want.add(t)
+
+    tp = len(got & want)
+    precision = tp / len(got) if got else 1.0
+    recall = tp / len(want) if want else 1.0
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert precision == 1.0 and recall == 1.0  # shared core ⇒ exact
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, then map every node to min of its component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for root, members in comp.items():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@pytest.mark.parametrize("edges", [
+    [(1, 2), (2, 3), (10, 11), (20, 20)],
+    [(1, 2), (3, 4), (2, 3), (5, 6), (6, 7), (7, 5)],
+    [(i, i + 1) for i in range(1, 40)],                      # long chain
+    [(0, i) for i in range(1, 50)] + [(100, 101)],           # hub star
+    [],
+])
+def test_connected_components_vs_union_find(spark, edges):
+    if not edges:
+        df = spark.createDataFrame([], "src long, dst long")
+        assert canonicalize.connected_components(df).count() == 0
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in canonicalize.connected_components(df).collect()
+    }
+    nodes = sorted({x for e in edges for x in e})
+    want = _union_find_components([e for e in edges if e[0] != e[1]], nodes)
+    # CC result must cover every non-isolated node with the min-id component
+    for n in nodes:
+        if any(a != b and n in (a, b) for a, b in edges):
+            assert got[n] == want[n], (n, got.get(n), want[n])
+
+
+def test_graph_write_and_resume(spark, pages, tmp_path):
+    root = str(tmp_path / "kg")
+    docs = extract.run(pages).select("url", "text")
+    written = graph.write_stage(docs, root, "docs", key="url", n_buckets=4)
+    assert sorted(written) == [0, 1, 2, 3]
+    back = graph.read_stage(spark, root, "docs")
+    assert back.count() == N
+    # manifests recorded per bucket; re-run is a no-op (checkpoint-resume)
+    m = graph.read_manifest(spark, root, "docs")
+    assert m.count() == 4
+    assert m.agg(F.sum("n_rows")).first()[0] == N
+    assert graph.write_stage(docs, root, "docs", key="url", n_buckets=4) == []
+    assert graph.pending_parts(spark, root, "docs", 4) == []
+
+
+def test_full_pipeline_smoke(spark, pages):
+    out = run_pipeline(spark, pages)
+    assert out["triples"].count() > 0
+    assert out["linked"].count() > 0
+    assert set(out["triples"].columns) == {"subj", "pred", "obj", "url"}

@@ -1,0 +1,111 @@
+"""Stage 6 — canonicalization: connected components over entity-similarity
+edges (north rule: iterative large-star/small-star with skew handling).
+
+Algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SOCC'14): alternate
+
+  large-star: for every node u, connect every neighbor v > u to
+              m = min(Γ(u) ∪ {u})
+  small-star: orient edges high→low; connect every neighbor (all ≤ u)
+              and u itself to the minimum of that closed neighborhood
+
+until the edge multiset stops changing. Converges in O(log n) rounds; each
+round is one groupBy-aggregate + one explode (two shuffles) — no driver-side
+graph state, so it scales to hub-entity components. AQE's skew-join/skew-agg
+splitting handles the hub keys; ``localCheckpoint`` truncates lineage so the
+plan doesn't grow across iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_undirected(edges: DataFrame) -> DataFrame:
+    """Normalize to src < dst, drop self-loops and duplicates."""
+    e = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    return e.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    # both orientations; per node u: m = min(neighbors ∪ {u}); emit (v, m) for v > u
+    nbrs = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    agg = nbrs.groupBy("src").agg(
+        F.collect_set("dst").alias("nb"),
+        F.least(F.min("dst"), F.col("src").cast("long")).alias("m"),
+    )
+    # GroupBy key aggregation keeps 'src' available; explode neighbors > src
+    out = agg.select(
+        F.col("m"), F.explode(F.filter("nb", lambda v: v > F.col("src"))).alias("v")
+    )
+    return out.select(F.col("v").alias("src"), F.col("m").alias("dst"))
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient high → low; per node u: neighbors all < u (plus u);
+    # m = min(closed neighborhood); connect everyone (incl. u) to m
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    agg = oriented.groupBy("src").agg(F.collect_set("dst").alias("nb"), F.min("dst").alias("m"))
+    exploded = agg.select(
+        "m",
+        F.explode(
+            F.array_union("nb", F.array(F.col("src").cast("long")))
+        ).alias("v"),
+    )
+    return exploded.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("src"), F.col("m").alias("dst")
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """edges(src: long, dst: long) → (node: long, component: long) where
+    component is the minimum node id of the component.
+
+    State between rounds is the DIRECTED (child → parent) star forest — both
+    star steps emit parent < child, and the fixed point is every node
+    pointing at its component's minimum. (Canonicalizing to an undirected
+    form inside the loop would erase that direction.)
+    """
+    e = _canon_undirected(
+        edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).distinct().localCheckpoint()
+        changed = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        e = e2
+        if changed == 0:
+            break
+
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = (
+        e.select("dst").distinct()
+        .join(e.select(F.col("src").alias("dst")).distinct(), "dst", "left_anti")
+        .select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    )
+    return members.unionByName(roots).distinct()
+
+
+def entity_similarity_edges(linked: DataFrame) -> DataFrame:
+    """Build the canonicalization edge list: two linked entities are similar
+    if they share a mention surface (same mention_norm, different entity) —
+    the hub-entity self-join the north rule calls out. Salting is not needed
+    here because the join key is mention_norm (bounded fan-out) and AQE
+    splits any residual skew."""
+    a = linked.select("mention_norm", F.col("entity_id").alias("src"))
+    b = linked.select("mention_norm", F.col("entity_id").alias("dst"))
+    return (
+        a.join(b, "mention_norm")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )

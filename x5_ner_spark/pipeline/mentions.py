@@ -1,0 +1,75 @@
+"""Stage 2 — mention detection (the reference's NER stage, Spark-first).
+
+- model probabilities + rule cascade + post-process run inside ONE iterator
+  pandas UDF (operators/span_udfs.make_mentions_udf) — Arrow batches, state
+  loaded once per worker (ref lifecycle SURVEY.md §3.1);
+- the brand lexicon is a driver-built broadcast (ref infer.py:62-72);
+- ``repartitionByRange`` on text length balances Python-worker batches so a
+  few huge documents don't skew task times (SURVEY.md §4 custom item 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.span_udfs import make_mentions_udf
+
+# native normalization used by lexicon build (F1/F3 as Column expressions)
+_NOT_ALNUM = "[^0-9a-zA-Zа-я]+"
+
+
+def _lex_norm_col(c):
+    return F.regexp_replace(F.translate(F.lower(F.trim(c)), "ё", "е"), _NOT_ALNUM, "")
+
+
+def build_brand_lexicon(
+    annotated: DataFrame, text_col: str = "text", spans_col: str = "spans",
+    min_len: int = 3, max_len: int = 30,
+) -> DataFrame:
+    """A1 lexicon build (ref scripts/build_brand_lexicon.py:58-118), fully
+    native: explode BRAND spans → substring surface → whole-span + per-word
+    normalized counts, length-filtered. Returns (term, freq) ordered by freq
+    desc — shuffle is one groupBy on a term key.
+    """
+    spans = annotated.select(
+        F.col(text_col).alias("_t"), F.explode(spans_col).alias("sp")
+    ).filter(F.col("sp.tag").contains("BRAND"))
+    surface = spans.select(
+        F.substring(F.col("_t"), F.col("sp.start") + 1, F.col("sp.end") - F.col("sp.start")).alias("s")
+    )
+    whole = surface.select(
+        F.regexp_replace(F.lower("s"), "[^0-9A-Za-zА-Яа-яЁё]+", "").alias("term")
+    )
+    words = surface.select(
+        F.explode(F.split(F.lower("s"), "[^0-9A-Za-zА-Яа-яЁё]+")).alias("term")
+    )
+    return (
+        whole.unionByName(words)
+        .filter((F.length("term") >= min_len) & (F.length("term") <= max_len))
+        .groupBy("term")
+        .count()
+        .withColumnRenamed("count", "freq")
+        .orderBy(F.desc("freq"), "term")
+    )
+
+
+def run(
+    docs: DataFrame,
+    brand_lexicon: list[str] | None = None,
+    spark: SparkSession | None = None,
+    balance: bool = True,
+) -> DataFrame:
+    """docs(url, text, ...) → + spans array<struct<start,end,tag>>."""
+    lex = frozenset(brand_lexicon or [])
+    if spark is not None and len(lex) > 64:
+        lex = spark.sparkContext.broadcast(lex)
+    if balance:
+        docs = docs.withColumn("_n_chars", F.length("text"))
+        docs = docs.repartitionByRange(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32") and
+            int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "_n_chars", "url",
+        ).drop("_n_chars")
+    udf = make_mentions_udf(lex, postprocessed=True)
+    return docs.withColumn("spans", udf(F.col("text")))

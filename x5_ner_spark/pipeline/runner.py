@@ -1,0 +1,113 @@
+"""End-to-end KG pipeline driver: pages → graph tables.
+
+Entry point for ``spark-submit --py-files x5_ner_spark.zip
+x5_ner_spark/pipeline/runner.py --pages <path> --out <dir>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import candidates, canonicalize, extract, graph, linking, mentions, triples
+from .fixtures import BRANDS
+
+
+def default_alias_dict(spark: SparkSession) -> DataFrame:
+    """Deterministic alias dictionary built from the fixture brand list plus
+    the TYPE hint vocabulary (FIXTURES.md §4). Real deployments load an
+    Iceberg table; the shape is what matters: (alias_norm, entity_id,
+    entity_kind, prior)."""
+    from ..core.cascade import TYPE_HINTS
+    from ..core.textnorm import lex_norm
+
+    rows, eid = [], 0
+    for b in sorted(BRANDS):
+        rows.append((lex_norm(b), eid, "BRAND", 0.9))
+        eid += 1
+    for t in sorted(TYPE_HINTS):
+        rows.append((lex_norm(t), eid, "TYPE", 0.8))
+        eid += 1
+    return spark.createDataFrame(
+        rows, "alias_norm string, entity_id long, entity_kind string, prior double"
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str | None = None,
+    brand_lexicon: list[str] | None = None,
+    alias_dict: DataFrame | None = None,
+    n_buckets: int = 8,
+    run_id: str = "run0",
+) -> dict[str, DataFrame]:
+    """Returns the stage DataFrames; writes stage tables + manifests when
+    ``out_root`` is given (checkpoint-resume per graph.write_stage)."""
+    docs = extract.run(pages)
+    lex = brand_lexicon if brand_lexicon is not None else [b for b in BRANDS]
+    men = mentions.run(docs.select("url", "text"), lex, spark)
+    trip = triples.run(men)
+
+    adict = alias_dict if alias_dict is not None else default_alias_dict(spark)
+    ments = candidates.mention_table(trip)
+    cand = candidates.run(ments, adict)
+    linked = linking.run(cand)
+
+    edges = canonicalize.entity_similarity_edges(linked)
+    comp = canonicalize.connected_components(edges)
+
+    # node/edge tables: canonical entity nodes + (page)-[pred]->(entity) edges
+    ent_nodes = (
+        linked.join(comp, linked.entity_id == comp.node, "left")
+        .select(
+            "entity_id",
+            F.coalesce("component", "entity_id").alias("canonical_id"),
+            "entity_kind",
+        )
+        .distinct()
+    )
+    link_sel = linked.select(
+        F.col("mention_norm").alias("link_mn"),
+        F.col("pred").alias("link_pred"),
+        F.col("entity_id"),
+    )
+    kg_edges = trip.join(
+        F.broadcast(link_sel),
+        (candidates._lex_norm_col(trip.obj) == F.col("link_mn"))
+        & (trip.pred == F.col("link_pred")),
+        "left",
+    ).select("subj", "pred", "obj", "entity_id", "url")
+
+    out = {
+        "docs": docs, "mentions": men, "triples": trip, "linked": linked,
+        "components": comp, "nodes": ent_nodes, "edges": kg_edges,
+    }
+    if out_root:
+        graph.write_stage(trip, out_root, "triples", key="url", n_buckets=n_buckets, run_id=run_id)
+        graph.write_stage(ent_nodes, out_root, "nodes", key="entity_id", n_buckets=n_buckets, run_id=run_id)
+        graph.write_stage(kg_edges, out_root, "edges", key="subj", n_buckets=n_buckets, run_id=run_id)
+    return out
+
+
+def main() -> None:
+    from ..session import get_spark
+    from .fixtures import pages_df
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", default=None, help="parquet path of pages table")
+    ap.add_argument("--n", type=int, default=10_000, help="synthesize N pages if no --pages")
+    ap.add_argument("--out", default="/tmp/x5_kg_out")
+    ap.add_argument("--buckets", type=int, default=8)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="x5-kg-pipeline")
+    pages = spark.read.parquet(args.pages) if args.pages else pages_df(spark, args.n)
+    out = run_pipeline(spark, pages, out_root=args.out, n_buckets=args.buckets)
+    print({k: v.count() for k, v in out.items()})
+
+
+if __name__ == "__main__":
+    main()
