@@ -36,7 +36,10 @@ def load_reference_module(name: str):
         sys.modules["rapidfuzz"] = rf
     if "torch" not in sys.modules:
         # ner/utils.py imports torch only for set_seed; a skeleton suffices
+        import importlib.machinery
+
         torch = types.ModuleType("torch")
+        torch.__spec__ = importlib.machinery.ModuleSpec("torch", loader=None)
         torch.manual_seed = lambda *a, **k: None
         torch.cuda = types.SimpleNamespace(
             is_available=lambda: False, manual_seed_all=lambda *a, **k: None
