@@ -1,38 +1,654 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship mention→triple query on sf0.001;
+``queries()`` maps every implemented SURVEY.md §2 operator family to a
+(spark, sf_dir) → DataFrame callable; ``oracle_sql()`` gives the DuckDB
+twin for the correctness gate. Column names/aliases match pairwise.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from x5_ner_spark.functions.columns import (
+    cosine_similarity_col,
+    portable_hash32,
+    simple_tokens_col,
+)
+from x5_ner_spark.operators import dedup, eval_ops, graph_ops, similarity, text_stats, windows
+
+# ---------------------------------------------------------------- helpers
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# flagship mention dictionary over the English synthetic corpus — the
+# minimum-slice analog (SURVEY.md §7.2) of TYPE_HINTS/brand lexicons
+MENTION_DICT = {
+    "join": "is_op", "filter": "is_op", "scan": "is_op", "window": "is_op",
+    "agg": "is_op", "sort": "is_op",
+    "table": "is_entity", "row": "is_entity", "column": "is_entity",
+    "partition": "is_entity", "index": "is_entity",
+    "spark": "is_system", "data": "is_system", "query": "is_system",
+    "hash": "is_system", "batch": "is_system",
+}
+_DICT_SQL_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in sorted(MENTION_DICT.items()))
+
+
+# ---------------------------------------------------------------- queries
+
+def q_kg_mentions_by_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship minimum slice: scan → tokenize → broadcast dictionary join →
+    triple emission → aggregate (S-scan, P1, J2, A1)."""
+    docs = _t(spark, sf_dir, "documents")
+    dic = spark.createDataFrame(
+        sorted(MENTION_DICT.items()), "term string, pred string"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(simple_tokens_col(F.lower("text"))).alias("term")
+    )
+    hits = toks.join(F.broadcast(dic), "term")
+    return (
+        hits.groupBy("pred", "term")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3/P5/P6: predicate + derived projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 300)).select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.upper("source").alias("source_uc"),
+        (F.col("n_chars") % 7).cast("bigint").alias("bucket7"),
+    )
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + A3-family: orders ⋈ customer, grouped rollup per segment."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family pricing summary (TPC-H Q1 shape) on lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: length-banded Levenshtein join of corpus tokens vs lexicon."""
+    docs = _t(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(t,) for t in sorted(MENTION_DICT)], "lex_term string"
+    )
+    toks = docs.select(
+        F.explode(simple_tokens_col(F.lower("text"))).alias("token")
+    ).distinct()
+    joined = toks.join(
+        F.broadcast(lex),
+        (F.abs(F.length("token") - F.length("lex_term")) <= 1)
+        & (F.levenshtein("token", "lex_term") <= 1),
+    )
+    return joined.select(
+        "token", "lex_term", F.levenshtein("token", "lex_term").cast("bigint").alias("dist")
+    )
+
+
+def q_range_join_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 cross-row variant: interval join of events.value against bins."""
+    ev = _t(spark, sf_dir, "events")
+    bins = spark.createDataFrame(
+        [(0, 0.0, 5.0), (1, 5.0, 10.0), (2, 10.0, 15.0), (3, 15.0, 1e9)],
+        "bin_id int, lo double, hi double",
+    )
+    j = ev.join(
+        F.broadcast(bins), (ev.value >= bins.lo) & (ev.value < bins.hi)
+    )
+    return j.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/W9: token frequency top-50, deterministic tiebreak."""
+    return text_stats.token_frequencies(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+def q_prf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/A3/A4/U2: gold vs pred membership sets → per-type P/R/F1."""
+    ev = _t(spark, sf_dir, "events")
+    gold = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "event_type")
+    pred = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "event_type")
+    counters = eval_ops.prf_counters(gold, pred, ["user_id"], "event_type")
+    metrics = eval_ops.prf_metrics(counters, "event_type")
+    return counters.join(metrics, "event_type")
+
+
+def q_lead_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/J5: next-row prefix comparison over a global total order."""
+    flags = windows.lead_prefix_flags(_t(spark, sf_dir, "documents"))
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("prefix_match").cast("bigint").alias("n_prefix_matches"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 gaps-and-islands sessionization per user."""
+    return windows.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_lag_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 BIO-continuity relabel, aggregated per resulting label."""
+    lab = windows.lag_relabel(_t(spark, sf_dir, "events"))
+    return lab.groupBy("bio_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_zero_after_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 analog: suppress values directly after an 'error' event."""
+    adj = windows.zero_after_marker(_t(spark, sf_dir, "events"))
+    return adj.agg(
+        F.round(F.sum("value_adj"), 2).alias("sum_adj"),
+        F.sum((F.col("value_adj") == 0.0).cast("int")).cast("bigint").alias("n_zeroed"),
+    )
+
+
+def q_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 positional zip of two deterministic halves."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    z = windows.zip_join(a, b, ["doc_id"], "source")
+    return z.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("equal").cast("bigint").alias("n_equal"),
+    )
+
+
+def q_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union with provenance tag (ref merge_train_submission.py:32-39)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.filter(F.col("lang") == "en").withColumn("src_tag", F.lit("t"))
+    s = docs.filter(F.col("lang") != "en").withColumn("src_tag", F.lit("s"))
+    return (
+        t.unionByName(s)
+        .groupBy("src_tag", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: deterministic hash split (portable md5) with per-source counts."""
+    docs = _t(spark, sf_dir, "documents")
+    split = F.when(portable_hash32(F.col("text")) % 10 < 8, "train").otherwise("val")
+    return docs.select("source", split.alias("split")).groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (exact): duplicate-group stats."""
+    d = dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("n_docs_in_groups"),
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (n-gram Jaccard) via shared-shingle blocking."""
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (MinHash+LSH banding): candidate buckets with >1 doc."""
+    return dedup.minhash_band_buckets(_t(spark, sf_dir, "documents"), k=3, n_hashes=8, band_size=2)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (SimHash, 16-bit) for a deterministic doc subset."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.simhash(docs, bits=16)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: brute-force cosine top-3 for 5 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=3)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (embedding cosine) on deterministic blocks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.35, block_mod=8)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (large-star/small-star) over user adjacency."""
+    return graph_ops.user_components(_t(spark, sf_dir, "events"))
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (LSH-bucketed approximate top-k) — rows-only check
+    (hyperplane construction is engine-internal)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries, k=3, n_planes=6)
+
+
+# ------------------------------------------------------------ the contract
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_kg_mentions_by_pred(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_mentions_by_pred": q_kg_mentions_by_pred,
+        "filter_project": q_filter_project,
+        "join_agg": q_join_agg,
+        "tpch_q1": q_tpch_q1,
+        "fuzzy_join": q_fuzzy_join,
+        "range_join_bins": q_range_join_bins,
+        "token_topk": q_token_topk,
+        "prf_eval": q_prf_eval,
+        "lead_prefix": q_lead_prefix,
+        "sessionize": q_sessionize,
+        "lag_relabel": q_lag_relabel,
+        "zero_after_marker": q_zero_after_marker,
+        "zip_join": q_zip_join,
+        "union_provenance": q_union_provenance,
+        "hash_split": q_hash_split,
+        "exact_dups": q_exact_dups,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_buckets": q_minhash_buckets,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "components": q_components,
+        "lsh_topk": q_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# shared SQL fragments
+_TOKENS = (
+    "SELECT doc_id, t.term FROM documents, "
+    "LATERAL unnest(string_split(lower(text), ' ')) AS t(term) WHERE t.term <> ''"
+)
+_H32 = "CAST(CAST('0x' || substr(md5({x}), 1, 8) AS UBIGINT) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    h_text = _H32.format(x="text")
+    sql: dict[str, str] = {}
+
+    sql["kg_mentions_by_pred"] = f"""
+        WITH dict(term, pred) AS (VALUES {_DICT_SQL_VALUES}),
+        toks AS ({_TOKENS})
+        SELECT d.pred, d.term,
+               COUNT(DISTINCT toks.doc_id) AS n_docs,
+               COUNT(*) AS n_mentions
+        FROM toks JOIN dict d USING (term)
+        GROUP BY d.pred, d.term
     """
-    return {}
+
+    sql["filter_project"] = """
+        SELECT doc_id, length(text) AS text_len, upper(source) AS source_uc,
+               CAST(n_chars % 7 AS BIGINT) AS bucket7
+        FROM documents WHERE lang = 'en' AND n_chars >= 300
+    """
+
+    sql["join_agg"] = """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price,
+               ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """
+
+    sql["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["fuzzy_join"] = f"""
+        WITH lex(lex_term) AS (VALUES {", ".join(f"('{t}')" for t in sorted(MENTION_DICT))}),
+        toks AS (SELECT DISTINCT t.term AS token FROM ({_TOKENS}) AS t(doc_id, term))
+        SELECT token, lex_term, CAST(levenshtein(token, lex_term) AS BIGINT) AS dist
+        FROM toks JOIN lex ON abs(length(token) - length(lex_term)) <= 1
+                          AND levenshtein(token, lex_term) <= 1
+    """
+
+    sql["range_join_bins"] = """
+        WITH bins(bin_id, lo, hi) AS (VALUES (0, 0.0, 5.0), (1, 5.0, 10.0),
+                                             (2, 10.0, 15.0), (3, 15.0, 1e9))
+        SELECT bin_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events JOIN bins ON value >= lo AND value < hi
+        GROUP BY bin_id
+    """
+
+    sql["token_topk"] = f"""
+        WITH toks AS ({_TOKENS.replace("lower(text)", "text")})
+        SELECT term, COUNT(*) AS freq FROM toks
+        GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50
+    """
+
+    sql["prf_eval"] = """
+        WITH gold AS (SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 0),
+        pred AS (SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 1),
+        tp AS (SELECT event_type, COUNT(*) AS tp FROM gold JOIN pred USING (user_id, event_type) GROUP BY event_type),
+        fp AS (SELECT event_type, COUNT(*) AS fp FROM pred ANTI JOIN gold USING (user_id, event_type) GROUP BY event_type),
+        fn AS (SELECT event_type, COUNT(*) AS fn FROM gold ANTI JOIN pred USING (user_id, event_type) GROUP BY event_type),
+        types AS (SELECT DISTINCT event_type FROM (SELECT event_type FROM gold UNION SELECT event_type FROM pred)),
+        c AS (SELECT t.event_type,
+                     CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+                     CAST(COALESCE(fp.fp, 0) AS BIGINT) AS fp,
+                     CAST(COALESCE(fn.fn, 0) AS BIGINT) AS fn
+              FROM types t LEFT JOIN tp USING (event_type)
+                           LEFT JOIN fp USING (event_type)
+                           LEFT JOIN fn USING (event_type))
+        SELECT event_type, tp, fp, fn,
+               ROUND(CASE WHEN tp+fp > 0 THEN tp/(tp+fp) ELSE 0.0 END, 4) AS precision,
+               ROUND(CASE WHEN tp+fn > 0 THEN tp/(tp+fn) ELSE 0.0 END, 4) AS recall,
+               ROUND(CASE WHEN (CASE WHEN tp+fp>0 THEN tp/(tp+fp) ELSE 0.0 END)
+                         + (CASE WHEN tp+fn>0 THEN tp/(tp+fn) ELSE 0.0 END) > 0
+                     THEN 2*(CASE WHEN tp+fp>0 THEN tp/(tp+fp) ELSE 0.0 END)
+                           *(CASE WHEN tp+fn>0 THEN tp/(tp+fn) ELSE 0.0 END)
+                          /((CASE WHEN tp+fp>0 THEN tp/(tp+fp) ELSE 0.0 END)
+                           +(CASE WHEN tp+fn>0 THEN tp/(tp+fn) ELSE 0.0 END))
+                     ELSE 0.0 END, 4) AS f1
+        FROM c
+    """
+
+    sql["lead_prefix"] = """
+        WITH w AS (SELECT doc_id, text, lead(text) OVER (ORDER BY text, doc_id) AS next_text
+                   FROM documents)
+        SELECT COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN substr(text, 1, 3) = substr(next_text, 1, 3)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_matches
+        FROM w WHERE next_text IS NOT NULL
+    """
+
+    sql["sessionize"] = """
+        WITH m AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        s AS (SELECT user_id, event_id,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM m),
+        per AS (SELECT user_id, session_id, COUNT(*) AS n_events
+                FROM s GROUP BY user_id, session_id)
+        SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+        FROM per GROUP BY user_id
+    """
+
+    sql["lag_relabel"] = """
+        WITH l AS (SELECT event_id, user_id, event_type,
+                          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT CASE WHEN prev = event_type THEN 'I-' || event_type
+                    ELSE 'B-' || event_type END AS bio_type,
+               COUNT(*) AS n
+        FROM l GROUP BY 1
+    """
+
+    sql["zero_after_marker"] = """
+        WITH l AS (SELECT value,
+                          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                   FROM events),
+        adj AS (SELECT CASE WHEN prev = 'error' THEN 0.0 ELSE value END AS value_adj FROM l)
+        SELECT ROUND(SUM(value_adj), 2) AS sum_adj,
+               CAST(SUM(CASE WHEN value_adj = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeroed
+        FROM adj
+    """
+
+    sql["zip_join"] = """
+        WITH a AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn, source AS left_val
+                   FROM documents WHERE doc_id % 2 = 0),
+        b AS (SELECT row_number() OVER (ORDER BY doc_id) AS rn, source AS right_val
+              FROM documents WHERE doc_id % 2 = 1)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN left_val = right_val THEN 1 ELSE 0 END) AS BIGINT) AS n_equal
+        FROM a JOIN b USING (rn)
+    """
+
+    sql["union_provenance"] = """
+        SELECT src_tag, source, COUNT(*) AS n FROM (
+          SELECT 't' AS src_tag, source FROM documents WHERE lang = 'en'
+          UNION ALL
+          SELECT 's' AS src_tag, source FROM documents WHERE lang <> 'en'
+        ) GROUP BY src_tag, source
+    """
+
+    sql["hash_split"] = f"""
+        SELECT source,
+               CASE WHEN {h_text} % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+               COUNT(*) AS n
+        FROM documents GROUP BY source, split
+    """
+
+    sql["exact_dups"] = """
+        WITH fp AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+                           COUNT(*) AS n_docs
+                    FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+        SELECT COUNT(*) AS n_groups,
+               CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS n_docs_in_groups
+        FROM fp
+    """
+
+    sql["jaccard_pairs"] = f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i+1:i+3], ' ') AS shingle
+          FROM toks, LATERAL unnest(range(len(toks) - 2)) AS r(i)
+          WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """
+
+    mh_cols = ", ".join(
+        "MIN(CAST(CAST('0x' || substr(md5(shingle || '#s%d'), 1, 8) AS UBIGINT) AS BIGINT)) AS mh%d"
+        % (i, i)
+        for i in range(8)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '|' || CAST(mh{2*b+1} AS VARCHAR)) AS bucket FROM sig"
+        for b in range(4)
+    )
+    sql["minhash_buckets"] = f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+          FROM toks, LATERAL unnest(range(len(toks) - 2)) AS r(i)
+          WHERE len(toks) >= 3),
+        sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+        bands AS ({band_selects})
+        SELECT band, bucket, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+        FROM bands GROUP BY band, bucket HAVING COUNT(*) > 1
+    """
+
+    h_tok = _H32.format(x="t || ''")
+    sql["simhash"] = f"""
+        WITH toks AS (
+          SELECT doc_id, t.t FROM (SELECT doc_id, text FROM documents WHERE doc_id < 100) d,
+          LATERAL unnest(string_split(lower(d.text), ' ')) AS t(t) WHERE t.t <> ''),
+        h AS (SELECT doc_id, {h_tok} AS hv FROM toks),
+        contrib AS (
+          SELECT doc_id, b.b AS bit,
+                 SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h, LATERAL unnest(range(16)) AS b(b)
+          GROUP BY doc_id, b.b)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM contrib GROUP BY doc_id
+    """
+
+    sql["cosine_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(q.qv, e.embedding), 4) AS cos
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+
+    sql["embedding_near_dups"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.vec_id % 8 = b.vec_id % 8
+        WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
+    """
+
+    en = ", ".join(f"'{w}'" for w in text_stats.EN_STOPWORDS)
+    ru = ", ".join(f"'{w}'" for w in text_stats.RU_STOPWORDS)
+    sql["lang_id"] = f"""
+        WITH toks AS ({_TOKENS}),
+        scored AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN term IN ({en}) THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS en_ratio,
+                 SUM(CASE WHEN term IN ({ru}) THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS ru_ratio
+          FROM toks GROUP BY doc_id)
+        SELECT doc_id, ROUND(en_ratio, 4) AS en_ratio,
+               CASE WHEN en_ratio < 0.05 AND ru_ratio < 0.05 THEN 'und'
+                    WHEN en_ratio >= ru_ratio THEN 'en' ELSE 'ru' END AS lang_pred
+        FROM scored
+    """
+
+    sql["quality"] = r"""
+        WITH d AS (
+          SELECT doc_id, length(text) AS n_chars_m,
+                 len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+                 ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                       * 1.0 / length(text), 4) AS digit_ratio,
+                 ROUND((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                       * 1.0 / length(text), 4) AS punct_ratio
+          FROM documents)
+        SELECT doc_id, n_chars_m, n_tokens, digit_ratio, punct_ratio,
+               ROUND((CASE WHEN n_tokens < 5 THEN 0.2 ELSE 1.0 END)
+                     * (1.0 - LEAST(digit_ratio * 2, 1.0))
+                     * (1.0 - LEAST(punct_ratio * 2, 1.0)), 4) AS quality
+        FROM d
+    """
+
+    sql["token_counts"] = """
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens,
+               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_est
+        FROM documents
+    """
+
+    sql["fingerprints"] = f"""
+        WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
+                   FROM documents)
+        SELECT doc_id, md5(nt) AS fingerprint,
+               {_H32.format(x="nt")} % 1024 AS fp_bucket
+        FROM n
+    """
+
+    sql["components"] = """
+        WITH le AS (
+          SELECT user_id AS src,
+                 lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+          FROM events),
+        e AS (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+              FROM le WHERE dst IS NOT NULL AND dst <> src),
+        und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+        nodes AS (SELECT DISTINCT a AS node FROM und),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT u.b AS node, reach.r FROM reach JOIN und u ON u.a = reach.node
+        )
+        SELECT node, MIN(r) AS component FROM reach GROUP BY node ORDER BY node
+    """
+    # DuckDB requires WITH RECURSIVE for self-referencing CTEs
+    sql["components"] = sql["components"].replace("WITH le AS", "WITH RECURSIVE le AS")
+
+    return sql

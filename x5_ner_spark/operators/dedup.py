@@ -1,0 +1,164 @@
+"""Deduplication operators for web-scale corpora: exact, shingle-Jaccard,
+MinHash banding (LSH), SimHash, embedding-cosine near-dup.
+
+Scale design:
+- exact dedup: one groupBy on a fingerprint (map-side combine, no row text
+  in the shuffle);
+- near-dup: shingle → band-bucket join, so candidate pairs are generated
+  per-bucket instead of a quadratic self-join; buckets are hash-distributed
+  (no skew: band key includes the band index);
+- all hashing is md5-based ``portable_hash32`` (cross-engine deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import cosine_similarity_col, portable_hash32, simple_tokens_col
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) docs; returns one row per
+    duplicated fingerprint with count and min doc_id (the keeper)."""
+    normed = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return (
+        docs.select(F.col("doc_id"), F.md5(normed).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """k-token shingles (doc_id, shingle string). Native: slice the token
+    array with transform over an index sequence."""
+    toks = simple_tokens_col("text")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
+    idx = F.sequence(F.lit(0), F.size("toks") - k)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)))
+    return d.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, sample_mod: int = 1
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via shared-shingle blocking:
+    |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|. Quadratic blowup is
+    bounded because only docs sharing a shingle ever meet."""
+    d = docs
+    if sample_mod > 1:
+        d = d.filter(F.col("doc_id") % sample_mod == 0)
+    sh = shingles(d, k).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 8) -> DataFrame:
+    """MinHash: per doc, min over shingles of portable_hash32(shingle, seed_i)
+    for each of n_hashes seeds — one groupBy, vectorized min aggregation."""
+    sh = shingles(docs, k).distinct()
+    aggs = [
+        F.min(portable_hash32(F.col("shingle"), salt=f"#s{i}")).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_buckets(
+    docs: DataFrame, k: int = 3, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: concat band_size minhashes per band → bucket id; returns
+    (band, bucket, n_docs) for buckets holding >1 doc (dedup candidates).
+    The band index is part of the key, spreading buckets across partitions."""
+    sig = minhash_signatures(docs, k, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    return (
+        all_bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash over whitespace tokens: per bit, sign of Σ_token(±1) where the
+    token's hash bit decides the sign. Native: explode tokens → per-bit
+    contributions via transform → groupBy sum → bit pack."""
+    toks = docs.select(
+        "doc_id", F.explode(simple_tokens_col(F.lower("text"))).alias("t")
+    )
+    h = toks.withColumn("hv", portable_hash32(F.col("t")))
+    contribs = h.select(
+        "doc_id",
+        *[
+            (
+                F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .alias(f"b{i}")
+            )
+            for i in range(bits)
+        ],
+    )
+    sums = contribs.groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
+    packed = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+                for i in range(bits)
+            ],
+            F.lit(0),
+        ).cast("bigint").alias("simhash"),
+    )
+    return packed
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, block_mod: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Baseline path: blocked self-join
+    (coarse hash block on vec_id to bound the pair count deterministically),
+    exact cosine rescore. The LSH-bucketed variant reuses simhash over
+    random-projection signs for the 100 TB path."""
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, (F.col("id_a") < F.col("id_b"))
+                   & (F.col("id_a") % block_mod == F.col("id_b") % block_mod))
+    return (
+        pairs.withColumn("cos", F.round(cosine_similarity_col(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines: token frequency /
+lexicon build (A1/A2/W9), language ID, quality scoring, token counting,
+document fingerprinting. All native Column expressions (JVM-side,
+whole-stage codegen) — zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import portable_hash32, simple_tokens_col
+
+# tiny pinned English stopword list for the n-gram-free language heuristic
+EN_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "for", "on", "with", "by",
+    "at", "from", "as", "or", "an", "be", "this", "that", "it",
+]
+RU_STOPWORDS = ["и", "в", "на", "с", "по", "для", "не", "от", "до", "за"]
+
+
+def token_frequencies(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """A1/A2/W9: explode → groupBy count → deterministic top-k (freq desc,
+    term asc tiebreak). Partial aggregation is automatic (map-side combine
+    before the single shuffle on term)."""
+    toks = docs.select(F.explode(simple_tokens_col("text")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(top_k)
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language heuristic: share of tokens in EN vs RU
+    stopword sets; argmax with 'und' fallback under 0.05."""
+    toks = docs.select(
+        "doc_id", F.explode(simple_tokens_col(F.lower("text"))).alias("t")
+    )
+    scored = toks.groupBy("doc_id").agg(
+        (F.sum(F.col("t").isin(EN_STOPWORDS).cast("int")) / F.count(F.lit(1))).alias("en_ratio"),
+        (F.sum(F.col("t").isin(RU_STOPWORDS).cast("int")) / F.count(F.lit(1))).alias("ru_ratio"),
+    )
+    return scored.select(
+        "doc_id",
+        F.round("en_ratio", 4).alias("en_ratio"),
+        F.when((F.col("en_ratio") < 0.05) & (F.col("ru_ratio") < 0.05), "und")
+        .when(F.col("en_ratio") >= F.col("ru_ratio"), "en")
+        .otherwise("ru")
+        .alias("lang_pred"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Quality features: length, token count, mean token length, digit ratio,
+    punct ratio, stopword ratio; composite score in [0,1]."""
+    toks = F.size(simple_tokens_col("text"))
+    n = F.length("text")
+    digits = n - F.length(F.regexp_replace("text", "[0-9]", ""))
+    punct = n - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    d = docs.select(
+        "doc_id",
+        n.alias("n_chars_m"),
+        toks.alias("n_tokens"),
+        F.round(digits / n, 4).alias("digit_ratio"),
+        F.round(punct / n, 4).alias("punct_ratio"),
+    )
+    score = (
+        F.when(F.col("n_tokens") < 5, 0.2).otherwise(1.0)
+        * (1.0 - F.least(F.col("digit_ratio") * 2, F.lit(1.0)))
+        * (1.0 - F.least(F.col("punct_ratio") * 2, F.lit(1.0)))
+    )
+    return d.withColumn("quality", F.round(score, 4))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + regex word tokens + a BPE-ish subword estimate
+    (ceil(chars/4) heuristic — the standard tokens≈chars/4 rule)."""
+    ws = F.size(simple_tokens_col("text"))
+    words = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+"), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        words.alias("word_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("bpe_est"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of case/whitespace-normalized
+    text (portable), plus a 32-bit bucket for partitioned dedup."""
+    normed = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(normed).alias("fingerprint"),
+        (portable_hash32(normed) % 1024).alias("fp_bucket"),
+    )
