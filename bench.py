@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+--scaling mode: run the SAME KG-pipeline job at local[8] and local[32]
+(subprocesses — a JVM pins its master) on the same input and report
+docs/sec at both plus scaling efficiency (the sandbox evidence for the
+north rule's N → 4N executor criterion). Results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "kg_mentions_by_pred", "tpch_q1", "join_agg", "token_topk", "fuzzy_join",
+    "sessionize", "prf_eval", "jaccard_pairs", "minhash_buckets", "simhash",
+    "cosine_topk", "components", "lang_id", "quality", "fingerprints",
+]
+PIPELINE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _noop_write(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_headline(master: str, include_pipeline: bool = True) -> dict:
+    from x5_ner_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(master=master, app_name="x5-bench")
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    # warm the JVM/Python workers once so per-query times measure the plan
+    _noop_write(qs["filter_project"](spark, SF_DIR))
+
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        _noop_write(qs[name](spark, SF_DIR))
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+
+    extras: dict[str, float] = {}
+    if include_pipeline:
+        from x5_ner_spark.pipeline.fixtures import pages_df
+        from x5_ner_spark.pipeline.runner import run_pipeline
+
+        t0 = time.time()
+        out = run_pipeline(spark, pages_df(spark, PIPELINE_PAGES))
+        _noop_write(out["triples"])
+        dt = time.time() - t0
+        times["kg_pipeline"] = round(dt, 3)
+        total += dt
+        extras["pipeline_docs_per_sec"] = round(PIPELINE_PAGES / dt, 1)
+    spark.stop()
+    return {"total_sec": round(total, 3), "queries": times, **extras}
+
+
+def scaling_child(cores: int) -> None:
+    """Child process: KG pipeline at local[cores], print docs/sec JSON."""
+    from x5_ner_spark.session import get_spark
+    from x5_ner_spark.pipeline.fixtures import pages_df
+    from x5_ner_spark.pipeline.runner import run_pipeline
+
+    spark = get_spark(master=f"local[{cores}]", app_name=f"x5-scaling-{cores}",
+                      shuffle_partitions=max(cores, 8))
+    pages = pages_df(spark, PIPELINE_PAGES).localCheckpoint()  # materialize input
+    t0 = time.time()
+    out = run_pipeline(spark, pages)
+    _noop_write(out["triples"])
+    dt = time.time() - t0
+    print(json.dumps({"cores": cores, "wall_sec": round(dt, 3),
+                      "docs_per_sec": round(PIPELINE_PAGES / dt, 1)}))
+    spark.stop()
+
+
+def run_scaling() -> dict:
+    results = {}
+    for cores in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cores)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+    return {
+        "n_pages": PIPELINE_PAGES,
+        "local8_docs_per_sec": results[8]["docs_per_sec"],
+        "local32_docs_per_sec": results[32]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-child", type=int, default=None)
+    ap.add_argument("--no-pipeline", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling_child:
+        scaling_child(args.scaling_child)
+        return
+
+    if args.scaling:
+        res = run_scaling()
+        print(json.dumps(res))
+        return
+
+    res = run_headline(f"local[{CPUS}]", include_pipeline=not args.no_pipeline)
+    out = {
+        "metric": "headline_total_sec",
+        "value": res["total_sec"],
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": _sf_label(SF_DIR),
+    }
+    if "pipeline_docs_per_sec" in res:
+        out["pipeline_docs_per_sec"] = res["pipeline_docs_per_sec"]
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,8 @@ Two pinned spec decisions (SURVEY.md §7.4):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from .spans import BIO_TAGS, Span
 from .textnorm import (
     is_pure_latin,
@@ -37,6 +39,15 @@ STOPWORDS = frozenset(
 )
 
 _IDX = {t: i for i, t in enumerate(BIO_TAGS)}
+
+
+@lru_cache(maxsize=1 << 16)
+def _fuzzy_hit_cached(term: str, lex_fs: frozenset[str], max_d: int) -> bool:
+    # token-level memo of the Levenshtein lexicon scan (Zipf vocabulary);
+    # frozenset keys cache their hash, so repeat lookups are O(1)
+    return lexicon_levenshtein_hit(term, lex_fs, max_d)
+
+
 _CONF_LADDER = (0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6, 0.55)
 
 
@@ -63,6 +74,7 @@ def decide_word_labels(
     """Run the cascade; returns one ``(start, end, label)`` per word (labels
     include 'O'), spans whitespace-trimmed, empty spans dropped."""
     lex_list = brand_lexicon_list if brand_lexicon_list is not None else sorted(brand_lexicon)
+    lex_fs = frozenset(lex_list)
     labels: dict[int, str] = {}
     prev_lab = "O"
 
@@ -85,7 +97,7 @@ def decide_word_labels(
         fuzzy_hit = False
         if not in_lex and lex_list:
             max_d = 1 if len(tok_lex) <= 6 else 2
-            fuzzy_hit = lexicon_levenshtein_hit(tok_lex, lex_list, max_d)
+            fuzzy_hit = _fuzzy_hit_cached(tok_lex, lex_fs, max_d)
 
         pure_lat = is_pure_latin(tok_norm)
         short_lat = pure_lat and len(tok_norm) <= 2

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from functools import lru_cache
 
 from .cascade import STOPWORDS, TYPE_HINTS
 from .spans import BIO_TAGS
@@ -24,35 +25,45 @@ _IDX = {t: i for i, t in enumerate(BIO_TAGS)}
 
 
 def _hash_floats(key: str, n: int) -> list[float]:
-    """n floats in [0, 1), deterministic in (key, i)."""
+    """n floats in [0, 1), deterministic in (key, i): one md5 seeds a 64-bit
+    LCG (MMIX constants) — one digest per token instead of n."""
+    h = hashlib.md5(key.encode("utf-8")).digest()
+    state = int.from_bytes(h[:8], "big")
     out = []
-    for i in range(n):
-        h = hashlib.md5(f"{key}\x00{i}".encode("utf-8")).digest()
-        out.append(int.from_bytes(h[:8], "big") / 2**64)
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        out.append(state / 2**64)
     return out
 
 
-def word_probabilities(token: str, position: int = 0) -> list[float]:
-    """Softmax over 9 BIO classes; pure function of (token text, position).
-
-    Heuristic logit shape (documented, frozen):
-    - TYPE_HINTS member           → strong B-TYPE (I-TYPE if position > 0)
-    - stopword / digits-only      → strong O
-    - pure-Latin, length ≥ 3      → strong B-BRAND
-    - otherwise                   → mild O prior + hash noise
-    """
-    tok = norm_token_simple(token)
+@lru_cache(maxsize=1 << 16)
+def _probs_cached(tok: str, continuation: bool) -> tuple[float, ...]:
     base = _hash_floats(tok, _N)
     logits = [b * 0.5 for b in base]  # small deterministic noise
     logits[_IDX["O"]] += 1.0
     if not tok or tok.isdigit() or tok in STOPWORDS:
         logits[_IDX["O"]] += 3.0
     elif tok in TYPE_HINTS:
-        tgt = "I-TYPE" if position > 0 else "B-TYPE"
-        logits[_IDX[tgt]] += 4.0
+        logits[_IDX["I-TYPE" if continuation else "B-TYPE"]] += 4.0
     elif is_pure_latin(tok) and len(tok) >= 3:
         logits[_IDX["B-BRAND"]] += 3.5
     m = max(logits)
     exps = [math.exp(x - m) for x in logits]
     z = sum(exps)
-    return [x / z for x in exps]
+    return tuple(x / z for x in exps)
+
+
+def word_probabilities(token: str, position: int = 0) -> list[float]:
+    """Softmax over 9 BIO classes; pure function of (token text, position>0).
+
+    Heuristic logit shape (documented, frozen):
+    - TYPE_HINTS member           → strong B-TYPE (I-TYPE if position > 0)
+    - stopword / digits-only      → strong O
+    - pure-Latin, length ≥ 3      → strong B-BRAND
+    - otherwise                   → mild O prior + hash noise
+
+    Token-level LRU caching is safe (pure in its key) and pays off on any
+    Zipf-distributed corpus — the executor-side analog of the reference's
+    per-worker model cache.
+    """
+    return list(_probs_cached(norm_token_simple(token), position > 0))

@@ -12,6 +12,7 @@ Behavioral parity targets (semantics only, fresh implementation):
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 _YO_RE = re.compile("[ёЁ]")
 # stdlib-re portable "unicode letter" class: \w minus digits minus underscore
@@ -116,13 +117,24 @@ def fuzz_ratio(a: str, b: str) -> float:
     return (1.0 - indel_distance(a, b) / total) * 100.0
 
 
-def token_close_to_lexicon(tok: str, lex: set[str]) -> bool:
+def token_close_to_lexicon(tok: str, lex: frozenset[str] | set[str]) -> bool:
     """Fuzzy lexicon membership (ref: improved_preprocessing.py:48-72):
     normalize; exact hit; else among length-window (±2) candidates accept
     fuzz.ratio ≥ 80, else edit distance ≤ 1 (len ≤ 5) / ≤ 2 (longer)."""
     t = normalize_token(tok)
     if not t:
         return False
+    if isinstance(lex, frozenset):
+        return _close_cached(t, lex)
+    return _close_uncached(t, frozenset(lex))
+
+
+@lru_cache(maxsize=1 << 16)
+def _close_cached(t: str, lex: frozenset[str]) -> bool:
+    return _close_uncached(t, lex)
+
+
+def _close_uncached(t: str, lex: frozenset[str]) -> bool:
     if t in lex:
         return True
     lt = len(t)
@@ -137,7 +149,7 @@ def token_close_to_lexicon(tok: str, lex: set[str]) -> bool:
     return False
 
 
-def lexicon_levenshtein_hit(term: str, lexicon: list[str], max_distance: int) -> bool:
+def lexicon_levenshtein_hit(term: str, lexicon, max_distance: int) -> bool:
     """Any lexicon item within ``max_distance`` of pre-normalized ``term``
     (ref: ner/infer.py:118-132)."""
     if not term:

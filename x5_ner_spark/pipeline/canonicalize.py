@@ -79,12 +79,22 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
     ).localCheckpoint()
 
+    def _sig(df: DataFrame) -> tuple:
+        # one-job convergence signature: (row count, order-insensitive hash sum)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    sig = _sig(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).distinct().localCheckpoint()
-        changed = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        sig2 = _sig(e2)
         e = e2
-        if changed == 0:
+        if sig2 == sig:
             break
+        sig = sig2
 
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = (

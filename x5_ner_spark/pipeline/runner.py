@@ -49,7 +49,11 @@ def run_pipeline(
     docs = extract.run(pages)
     lex = brand_lexicon if brand_lexicon is not None else [b for b in BRANDS]
     men = mentions.run(docs.select("url", "text"), lex, spark)
-    trip = triples.run(men)
+    # the Python (Arrow UDF) stage is the expensive one — materialize its
+    # output once so canonicalization's iterative actions and the caller's
+    # writes don't re-run inference (on a cluster, write_stage's Iceberg
+    # tables play this role; in-memory persist covers the library path)
+    trip = triples.run(men).persist()
 
     adict = alias_dict if alias_dict is not None else default_alias_dict(spark)
     ments = candidates.mention_table(trip)

@@ -46,4 +46,28 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _warm_icu_case_tables(spark)
+    return spark
+
+
+def _warm_icu_case_tables(spark: SparkSession) -> None:
+    """One-task warmup of Spark 4's CollationAwareUTF8String static init.
+
+    The first lower()/initcap() on NON-ASCII data triggers an ICU case-table
+    build (~5-10 s). Under local[32] (or any wide stage) all tasks block on
+    the class-init monitor and the first Cyrillic-touching job stalls ~70 s.
+    Paying it once on a single task at session start removes the stampede;
+    on a real cluster the same warmup runs one tiny task per executor
+    (spark.range(numExecutors).repartition(numExecutors))."""
+    if getattr(spark, "_x5_icu_warmed", False):
+        return
+    try:
+        from pyspark.sql import functions as F
+
+        spark.createDataFrame([("Ёё",)], "s string").coalesce(1).select(
+            F.lower("s"), F.upper("s"), F.initcap("s")
+        ).collect()
+    except Exception:
+        pass
+    spark._x5_icu_warmed = True
