@@ -1,0 +1,81 @@
+"""Structured Streaming pipeline + multimodal operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from x5_ner_spark.operators import multimodal
+from x5_ner_spark.pipeline.fixtures import pages_df
+from x5_ner_spark.streaming import stream_pipeline
+
+
+def test_stream_triples_match_batch(spark, tmp_path):
+    """Streaming over the same pages must emit exactly the batch triple set
+    (same stage functions, availableNow trigger)."""
+    pages_path = str(tmp_path / "pages")
+    pages = pages_df(spark, 80)
+    pages.write.mode("overwrite").parquet(pages_path)
+
+    from x5_ner_spark.pipeline import extract, mentions, triples
+
+    batch_pages = spark.read.parquet(pages_path)
+    men = mentions.run(extract.run(batch_pages).select("url", "text"), None, spark, balance=False)
+    batch = {(r.subj, r.pred, r.obj) for r in triples.run(men).collect()}
+
+    got_tbl = stream_pipeline.run_stream_to_memory(
+        spark, pages_path, table_name="t_stream_triples", timeout_s=120
+    )
+    got = {(r.subj, r.pred, r.obj) for r in got_tbl.collect()}
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_windowed_mention_counts_plan_is_streaming(spark, tmp_path):
+    pages_path = str(tmp_path / "pages2")
+    pages_df(spark, 20).write.mode("overwrite").parquet(pages_path)
+    tr = stream_pipeline.stream_triples(stream_pipeline.stream_pages(spark, pages_path))
+    agg = stream_pipeline.windowed_mention_counts(tr)
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.format("memory").queryName("t_windowed")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_windowed").collect()
+    assert sum(r["n_mentions"] for r in rows) > 0
+    assert {"window_start", "pred", "n_mentions"} == set(spark.table("t_windowed").columns)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", "image/png", 64, 64, None),
+        (2, "audio", b"RIFF fake wav", "audio/wav", None, None, 2.5),
+        (3, "video", b"\x00\x00ftyp fake mp4", "video/mp4", 320, 240, 3.2),
+        (4, "image", None, "image/png", 0, 0, None),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_multimodal_features_deterministic(spark, media_df):
+    f1 = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media_df).collect()}
+    f2 = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media_df).collect()}
+    assert f1 == f2
+    assert len(f1[1]) == 16
+    assert f1[4] == [0.0] * 16  # null payload → zero vector
+    assert f1[1] != f1[2]
+
+
+def test_multimodal_real_decode_is_stubbed(spark, media_df):
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(media_df, decode="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark, media_df):
+    frames = multimodal.frame_sample_plan(media_df, every_s=1.0).collect()
+    # 3.2s video → frames at 0,1,2 (sequence 0..max(n-1,0)=2)
+    assert [(r["frame_idx"], r["frame_ts_s"]) for r in frames] == [(0, 0.0), (1, 1.0), (2, 2.0)]

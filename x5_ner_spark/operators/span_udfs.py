@@ -52,11 +52,19 @@ def _spans_to_rows(spans) -> list[tuple[int, int, str]]:
 
 
 def _rows_to_tuples(rows) -> list[tuple[int, int, str]]:
-    """Arrow hands array<struct> cells over as numpy arrays of dicts; never
-    truth-test them directly."""
+    """Arrow hands array<struct> cells over as numpy arrays of dicts (when
+    read from storage) or tuples (when produced by an upstream pandas UDF in
+    the same plan); never truth-test the array itself."""
     if rows is None:
         return []
-    return [(int(r["start"]), int(r["end"]), str(r["tag"])) for r in rows]
+    out = []
+    for r in rows:
+        if isinstance(r, dict):
+            out.append((int(r["start"]), int(r["end"]), str(r["tag"])))
+        else:
+            s, e, t = r
+            out.append((int(s), int(e), str(t)))
+    return out
 
 
 @pandas_udf(StringType())
