@@ -281,6 +281,54 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.user_components(_t(spark, sf_dir, "events"))
 
 
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O3: global total-order sort + limit with deterministic tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.asc("text"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.substring("text", 1, 40).alias("head40"))
+    )
+
+
+def q_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: stratification group sizes (ref split_train_val.py:62-66)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: column means (ref process_submission.py:78-82)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        )
+    )
+
+
+def q_error_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: entity-diff buckets over deterministic synthetic entity tables
+    derived from lineitem (gold = even line numbers, pred = odd)."""
+    from x5_ner_spark.operators.eval_ops import error_buckets
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("doc_id"),
+        (F.col("l_partkey") % 100).cast("int").alias("start"),
+        ((F.col("l_partkey") % 100) + 5).cast("int").alias("end"),
+        F.col("l_returnflag").alias("etype"),
+        "l_linenumber",
+    )
+    gold = li.filter(F.col("l_linenumber") % 2 == 0).drop("l_linenumber").distinct()
+    pred = li.filter(F.col("l_linenumber") % 2 == 1).drop("l_linenumber").distinct()
+    return error_buckets(gold, pred)
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search (LSH-bucketed approximate top-k) — rows-only check
     (hyperplane construction is engine-internal)."""
@@ -325,6 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "components": q_components,
         "lsh_topk": q_lsh_topk,
+        "sort_limit": q_sort_limit,
+        "group_sizes": q_group_sizes,
+        "summary_stats": q_summary_stats,
+        "error_buckets": q_error_buckets,
     }
 
 
@@ -650,5 +702,49 @@ def oracle_sql() -> dict[str, str]:
     """
     # DuckDB requires WITH RECURSIVE for self-referencing CTEs
     sql["components"] = sql["components"].replace("WITH le AS", "WITH RECURSIVE le AS")
+
+    sql["sort_limit"] = """
+        SELECT doc_id, substr(text, 1, 40) AS head40
+        FROM documents ORDER BY text ASC, doc_id ASC LIMIT 20
+    """
+
+    sql["group_sizes"] = """
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    """
+
+    sql["summary_stats"] = """
+        SELECT lang, ROUND(AVG(n_chars), 4) AS avg_chars,
+               ROUND(AVG(length(text)), 4) AS avg_len
+        FROM documents GROUP BY lang
+    """
+
+    sql["error_buckets"] = """
+        WITH ents AS (
+          SELECT l_orderkey AS doc_id,
+                 CAST(l_partkey % 100 AS INT) AS s,
+                 CAST(l_partkey % 100 + 5 AS INT) AS e,
+                 l_returnflag AS t, l_linenumber
+          FROM lineitem),
+        gold AS (SELECT DISTINCT doc_id, s AS gs, e AS ge, t AS gt
+                 FROM ents WHERE l_linenumber % 2 = 0),
+        pred AS (SELECT DISTINCT doc_id, s AS ps, e AS pe, t AS pt
+                 FROM ents WHERE l_linenumber % 2 = 1),
+        exact AS (SELECT 'exact_match' AS bucket, gt AS etype FROM gold JOIN pred
+                  USING (doc_id) WHERE gs = ps AND ge = pe AND gt = pt),
+        swap AS (SELECT 'type_swap', gt FROM gold JOIN pred USING (doc_id)
+                 WHERE gs = ps AND ge = pe AND gt <> pt),
+        shift AS (SELECT 'boundary_shift', gt FROM gold JOIN pred USING (doc_id)
+                  WHERE gt = pt AND gs < pe AND ge > ps AND (gs <> ps OR ge <> pe)),
+        fn AS (SELECT 'false_negative', gt FROM gold g WHERE NOT EXISTS
+                 (SELECT 1 FROM pred p WHERE p.doc_id = g.doc_id
+                  AND g.gs < p.pe AND g.ge > p.ps)),
+        fp AS (SELECT 'false_positive', pt FROM pred p WHERE NOT EXISTS
+                 (SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+                  AND g.gs < p.pe AND g.ge > p.ps)),
+        allb AS (SELECT * FROM exact UNION ALL SELECT * FROM swap
+                 UNION ALL SELECT * FROM shift UNION ALL SELECT * FROM fn
+                 UNION ALL SELECT * FROM fp)
+        SELECT bucket, etype, COUNT(*) AS n FROM allb GROUP BY bucket, etype
+    """
 
     return sql

@@ -42,3 +42,109 @@ def prf_metrics(counters: DataFrame, type_col: str) -> DataFrame:
         F.round(r, 4).alias("recall"),
         F.round(f1, 4).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------- E2-E4
+
+def char_label_diff(
+    docs: DataFrame, gold_col: str = "gold_spans", pred_col: str = "pred_spans",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """E2 (ref scripts/eval_preproc_val.py:42-141): project both span sets to
+    per-char entity-type labels, then emit mismatch RANGES per document
+    (gaps-and-islands over the mismatching char positions).
+
+    Fully native: sequence→explode for the char axis; first covering span's
+    type via filter+element_at (spans disjoint); islands via row_number
+    difference. Scales: the char explosion is bounded per doc and partitions
+    by doc id."""
+    from pyspark.sql import Window
+
+    def label_at(spans_col: str):
+        covering = F.filter(
+            F.col(spans_col),
+            lambda s: (s["start"] <= F.col("i")) & (F.col("i") < s["end"]) & (s["tag"] != "O"),
+        )
+        return F.when(
+            F.size(covering) > 0,
+            F.substring_index(F.element_at(covering, 1)["tag"], "-", -1),
+        ).otherwise(F.lit(""))
+
+    chars = docs.select(
+        id_col, gold_col, pred_col,
+        F.explode(F.sequence(F.lit(0), F.length(text_col) - 1)).alias("i"),
+    )
+    labeled = chars.select(
+        id_col, "i",
+        label_at(gold_col).alias("g"),
+        label_at(pred_col).alias("p"),
+    ).filter(F.col("g") != F.col("p"))
+    w = Window.partitionBy(id_col).orderBy("i")
+    isl = labeled.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grp", F.col("i") - F.col("rn")
+    )
+    return (
+        isl.groupBy(id_col, "grp", "g", "p")
+        .agg(F.min("i").alias("start"), (F.max("i") + 1).alias("end"))
+        .drop("grp")
+        .withColumnRenamed("g", "gold_label")
+        .withColumnRenamed("p", "pred_label")
+    )
+
+
+def error_buckets(
+    gold_ents: DataFrame, pred_ents: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """E3 (ref scripts/diff_analyser.py:30-91): bucket prediction errors per
+    entity — exact TP, type swap (same boundaries, different type), boundary
+    shift (same type, overlapping, different boundaries), plain FP / FN.
+    Inputs: (id_col, start, end, etype) entity tables."""
+    g = gold_ents.select(id_col, F.col("start").alias("gs"), F.col("end").alias("ge"),
+                         F.col("etype").alias("gt"))
+    p = pred_ents.select(id_col, F.col("start").alias("ps"), F.col("end").alias("pe"),
+                         F.col("etype").alias("pt"))
+
+    exact = (g.join(p, (g[id_col] == p[id_col]) & (F.col("gs") == F.col("ps"))
+                    & (F.col("ge") == F.col("pe")) & (F.col("gt") == F.col("pt")))
+             .select(g[id_col].alias("doc"), F.lit("exact_match").alias("bucket"),
+                     F.col("gt").alias("etype")))
+    swap = (g.join(p, (g[id_col] == p[id_col]) & (F.col("gs") == F.col("ps"))
+                   & (F.col("ge") == F.col("pe")) & (F.col("gt") != F.col("pt")))
+            .select(g[id_col].alias("doc"), F.lit("type_swap").alias("bucket"),
+                    F.col("gt").alias("etype")))
+    shift = (g.join(p, (g[id_col] == p[id_col]) & (F.col("gt") == F.col("pt"))
+                    & (F.col("gs") < F.col("pe")) & (F.col("ge") > F.col("ps"))
+                    & ((F.col("gs") != F.col("ps")) | (F.col("ge") != F.col("pe"))))
+             .select(g[id_col].alias("doc"), F.lit("boundary_shift").alias("bucket"),
+                     F.col("gt").alias("etype")))
+    # FN: gold with no overlapping same-doc pred at all; FP symmetric
+    any_overlap = (g.join(p, (g[id_col] == p[id_col]) & (F.col("gs") < F.col("pe"))
+                          & (F.col("ge") > F.col("ps")), "left_semi"))
+    fn = (g.exceptAll(any_overlap)
+          .select(F.col(id_col).alias("doc"), F.lit("false_negative").alias("bucket"),
+                  F.col("gt").alias("etype")))
+    any_overlap_p = (p.join(g, (g[id_col] == p[id_col]) & (F.col("gs") < F.col("pe"))
+                            & (F.col("ge") > F.col("ps")), "left_semi"))
+    fp = (p.exceptAll(any_overlap_p)
+          .select(F.col(id_col).alias("doc"), F.lit("false_positive").alias("bucket"),
+                  F.col("pt").alias("etype")))
+    return (exact.unionByName(swap).unionByName(shift).unionByName(fn).unionByName(fp)
+            .groupBy("bucket", "etype").agg(F.count(F.lit(1)).alias("n")))
+
+
+def compare_submissions(a: DataFrame, b: DataFrame, key: str = "sample") -> DataFrame:
+    """E4 (ref scripts/compare_submissions.py:20-33): order-insensitive
+    annotation equality per key + overall identity stats. Inputs carry a
+    'spans' array column; comparison is on sorted-distinct span sets."""
+    from .span_native import sorted_distinct
+
+    aa = a.select(F.col(key), sorted_distinct("spans").alias("sa"))
+    bb = b.select(F.col(key), sorted_distinct("spans").alias("sb"))
+    j = aa.join(bb, key, "full_outer").select(
+        key,
+        F.when(F.col("sa").isNull() | F.col("sb").isNull(), F.lit("missing"))
+        .when(F.col("sa") == F.col("sb"), F.lit("identical"))
+        .otherwise(F.lit("different"))
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
