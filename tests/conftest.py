@@ -74,3 +74,15 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.path.join(TESTDATA, "sf0.001")
+
+
+def stub_transformers() -> None:
+    """ner/dataset.py imports transformers only for type hints / encode paths
+    we don't exercise; a named stub lets differential tests import it."""
+    import importlib.machinery
+
+    if "transformers" not in sys.modules:
+        tr = types.ModuleType("transformers")
+        tr.__spec__ = importlib.machinery.ModuleSpec("transformers", loader=None)
+        tr.AutoTokenizer = object
+        sys.modules["transformers"] = tr

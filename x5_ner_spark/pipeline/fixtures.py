@@ -45,14 +45,22 @@ def _h(seed: int, i: int, salt: str) -> int:
     return int.from_bytes(d[:8], "big")
 
 
-def page_row(i: int, seed: int = 42) -> dict:
-    """One deterministic page: url, warc_ts, html (bytes), text, lang."""
-    prod = PRODUCTS[_h(seed, i, "p") % len(PRODUCTS)]
-    adj = ADJECTIVES[_h(seed, i, "a") % len(ADJECTIVES)]
-    brand = BRANDS[_h(seed, i, "b") % len(BRANDS)] if _h(seed, i, "hb") % 3 else ""
-    suf = SUFFIXES[_h(seed, i, "s") % len(SUFFIXES)]
-    parts = [prod] + ([adj] if adj else []) + ([brand] if brand else []) + ([suf] if suf else [])
-    body = " ".join(parts)
+def page_row(i: int, seed: int = 42, sentences: int = 1) -> dict:
+    """One deterministic page: url, warc_ts, html (bytes), text, lang.
+    ``sentences`` scales document length (web pages are paragraphs, not
+    queries) — each sentence is an independently hash-seeded product phrase."""
+
+    def sentence(j: int) -> str:
+        prod = PRODUCTS[_h(seed, i, f"p{j}") % len(PRODUCTS)]
+        adj = ADJECTIVES[_h(seed, i, f"a{j}") % len(ADJECTIVES)]
+        brand = BRANDS[_h(seed, i, f"b{j}") % len(BRANDS)] if _h(seed, i, f"hb{j}") % 3 else ""
+        suf = SUFFIXES[_h(seed, i, f"s{j}") % len(SUFFIXES)]
+        parts = [prod] + ([adj] if adj else []) + ([brand] if brand else []) + ([suf] if suf else [])
+        return " ".join(parts)
+
+    body = ". ".join(sentence(j) for j in range(max(sentences, 1)))
+    prod = PRODUCTS[_h(seed, i, "p0") % len(PRODUCTS)]
+    brand = BRANDS[_h(seed, i, "b0") % len(BRANDS)] if _h(seed, i, "hb0") % 3 else ""
     title = f"{prod} {brand}".strip()
 
     if _h(seed, i, "hub") % 10 < 3:  # 30% of pages land on 2 hub domains
@@ -74,14 +82,14 @@ def page_row(i: int, seed: int = 42) -> dict:
     }
 
 
-def generate_pages(n: int, seed: int = 42) -> list[dict]:
-    return [page_row(i, seed) for i in range(n)]
+def generate_pages(n: int, seed: int = 42, sentences: int = 1) -> list[dict]:
+    return [page_row(i, seed, sentences) for i in range(n)]
 
 
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def pages_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+def pages_df(spark, n: int, seed: int = 42, partitions: int | None = None, sentences: int = 1):
     """Distributed generation: the generator runs ON EXECUTORS via a range
     DataFrame + mapInPandas, so fixture creation itself scales (no driver-side
     list for large n)."""
@@ -89,7 +97,7 @@ def pages_df(spark, n: int, seed: int = 42, partitions: int | None = None):
 
     def gen(batches):
         for pdf in batches:
-            rows = [page_row(int(i), seed) for i in pdf["id"]]
+            rows = [page_row(int(i), seed, sentences) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     rng = spark.range(n)
