@@ -85,20 +85,37 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     return [(m.group(0), m.start(), m.end()) for m in WORD_RE.finditer(text)]
 
 
-def explicit_numeric_spans(text: str) -> list[Span]:
+def _shared_regex_spans(text: str) -> dict[str, list[tuple[int, int]]]:
+    """The four regexes used by BOTH the explicit extractor and the implicit
+    pass's explicit-guard (ref recomputes them; we scan once per text)."""
+    return {
+        "pct_sign": [m.span() for m in RE_PERCENT_SIGN.finditer(text)],
+        "pct_word": [m.span() for m in RE_PERCENT_WORD.finditer(text)],
+        "multipack": [m.span() for m in RE_MULTIPACK.finditer(text)],
+        "volume": [m.span() for m in RE_VOLUME.finditer(text)],
+    }
+
+
+def explicit_numeric_spans(
+    text: str,
+    tokens: list[tuple[str, int, int]] | None = None,
+    shared: dict[str, list[tuple[int, int]]] | None = None,
+) -> list[Span]:
     """Explicit percent/volume/multipack/word-number mentions
     (ref: improved_preprocessing.py:163-207)."""
+    shared = shared if shared is not None else _shared_regex_spans(text)
     out: list[Span] = []
-    for rx in (RE_PERCENT_SIGN, RE_PERCENT_WORD, RE_WORD_PERCENT, RE_HALF_PERCENT):
+    for key in ("pct_sign", "pct_word"):
+        out.extend((s, e, "B-PERCENT") for s, e in shared[key])
+    for rx in (RE_WORD_PERCENT, RE_HALF_PERCENT):
         for m in rx.finditer(text):
             out.append((m.start(), m.end(), "B-PERCENT"))
-    for rx in (RE_MULTIPACK, RE_VOLUME):
-        for m in rx.finditer(text):
-            out.append((m.start(), m.end(), "B-VOLUME"))
+    for key in ("multipack", "volume"):
+        out.extend((s, e, "B-VOLUME") for s, e in shared[key])
     out.extend(word_number_volume_spans(text))
 
     # adjective + volume-noun phrases: "больш*/огромн*" + "объем*/обьем*"
-    toks = tokenize_with_offsets(text)
+    toks = tokens if tokens is not None else tokenize_with_offsets(text)
     norms = [normalize_token(t) for t, _, _ in toks]
     for i in range(len(toks) - 1):
         a, b = norms[i], norms[i + 1]
@@ -121,16 +138,22 @@ def word_number_volume_spans(text: str) -> list[Span]:
     return out
 
 
-def implicit_numeric_spans(text: str, fatty_words: frozenset[str] = FATTY_WORDS) -> list[Span]:
+def implicit_numeric_spans(
+    text: str,
+    fatty_words: frozenset[str] = FATTY_WORDS,
+    tokens: list[tuple[str, int, int]] | None = None,
+    shared: dict[str, list[tuple[int, int]]] | None = None,
+) -> list[Span]:
     """Classify bare numbers by context (ref: improved_preprocessing.py:225-274):
     0 → PERCENT; 1..99 near a fatty-product word → PERCENT; ≥100 or (pack word
     nearby and ≥2) → VOLUME; 'размер N' → skipped."""
-    toks = [(normalize_token(t), s, e) for t, s, e in tokenize_with_offsets(text)]
+    raw_toks = tokens if tokens is not None else tokenize_with_offsets(text)
+    toks = [(normalize_token(t), s, e) for t, s, e in raw_toks]
 
-    explicit: list[tuple[int, int]] = []
-    for rx in (RE_PERCENT_SIGN, RE_PERCENT_WORD, RE_MULTIPACK, RE_VOLUME):
-        for m in rx.finditer(text):
-            explicit.append(m.span())
+    shared = shared if shared is not None else _shared_regex_spans(text)
+    explicit: list[tuple[int, int]] = [
+        sp for key in ("pct_sign", "pct_word", "multipack", "volume") for sp in shared[key]
+    ]
 
     def overlaps_explicit(s: int, e: int) -> bool:
         return any(es < e and ee > s for es, ee in explicit)
@@ -226,9 +249,16 @@ def _split_multipack(text: str, spans: list[Span]) -> list[Span]:
 
 def numeric_spans(text: str, fatty_words: frozenset[str] = FATTY_WORDS) -> list[Span]:
     """The full numeric preprocessor (ref ``preprocess_query``,
-    improved_preprocessing.py:401-418)."""
+    improved_preprocessing.py:401-418). Tokenization and the shared regex
+    scans run once per text and feed both passes (identical output; the
+    reference recomputes them)."""
+    tokens = tokenize_with_offsets(text)
+    shared = _shared_regex_spans(text)
     merged = collapse_overlaps(
-        sorted(explicit_numeric_spans(text) + implicit_numeric_spans(text, fatty_words))
+        sorted(
+            explicit_numeric_spans(text, tokens, shared)
+            + implicit_numeric_spans(text, fatty_words, tokens, shared)
+        )
     )
     out = _split_spaced(text, merged, "PERCENT")
     out = _split_spaced(text, out, "VOLUME")

@@ -46,6 +46,10 @@ def only_separators(text: str, s: int, e: int) -> bool:
     return _RE_SEPARATORS_PROBE.search(text[s:e]) is None
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
 def _prep_norm(token_text: str) -> str:
     """ref: postprocess.py:141-143."""
     return token_text.strip().strip(_STRIP_CHARS).lower()

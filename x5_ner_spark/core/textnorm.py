@@ -39,9 +39,11 @@ def lex_norm(s: str) -> str:
     return _NOT_ALNUM_RU_LAT_NO_YO.sub("", norm_basic(s))
 
 
+@lru_cache(maxsize=1 << 16)
 def normalize_token(tok: str) -> str:
     """lower, ё→е, keep letters/digits/dash, collapse 3+ letter repeats
-    (ref: ner/improved_preprocessing.py:18-24)."""
+    (ref: ner/improved_preprocessing.py:18-24). LRU-cached: pure, and token
+    frequency is Zipf on any corpus."""
     t = _YO_RE.sub("е", tok.lower())
     t = _NOT_LETTER_DIGIT_DASH.sub("", t)
     return _LETTER_RUN.sub(r"\1", t)
