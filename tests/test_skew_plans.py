@@ -1,0 +1,76 @@
+"""Skew utilities equivalence, word aggregation, pipeline CC non-trivial,
+and physical-plan regression guards (pushdown + broadcast stay in place)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from x5_ner_spark.operators.word_agg import aggregate_subtokens
+from x5_ner_spark.pipeline import skew
+
+
+def test_salted_count_equals_plain(spark):
+    df = spark.createDataFrame(
+        [("hub",)] * 500 + [("a",)] * 3 + [("b",)] * 7, "k string"
+    )
+    plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r["k"]: r["count"] for r in skew.salted_count(df, "k").collect()}
+    assert salted == plain == {"hub": 500, "a": 3, "b": 7}
+
+
+def test_salted_join_equals_plain(spark):
+    big = spark.createDataFrame(
+        [(i, "hub" if i % 2 else f"k{i % 5}") for i in range(200)], "id long, k string"
+    )
+    small = spark.createDataFrame([("hub", 1), ("k1", 2), ("k3", 3)], "k string, v int")
+    plain = sorted(tuple(r) for r in big.join(small, "k").select("id", "v").collect())
+    salted = sorted(tuple(r) for r in skew.salted_join(big, small, "k").select("id", "v").collect())
+    assert salted == plain
+    assert len(plain) > 0
+
+
+def test_word_aggregation_matches_numpy(spark):
+    rows = []
+    rng = np.random.RandomState(7)
+    expected = {}
+    for wid in range(3):
+        probs = rng.rand(2 + wid, 4)
+        for j in range(probs.shape[0]):
+            rows.append((1, wid, 10 * wid + j, 10 * wid + j + 3, probs[j].tolist()))
+        expected[wid] = (10 * wid, 10 * wid + probs.shape[0] - 1 + 3, probs.mean(axis=0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, word_id long, ts int, te int, probs array<double>"
+    )
+    out = {r["word_id"]: r for r in aggregate_subtokens(df).collect()}
+    for wid, (ws, we, mean) in expected.items():
+        r = out[wid]
+        assert (r["ws"], r["we"]) == (ws, we)
+        np.testing.assert_allclose(r["word_probs"], mean, rtol=1e-12)
+
+
+def test_pipeline_components_nontrivial(spark):
+    """Ambiguous aliases must produce similarity edges → non-empty components."""
+    from x5_ner_spark.pipeline.fixtures import pages_df
+    from x5_ner_spark.pipeline.runner import run_pipeline
+
+    out = run_pipeline(spark, pages_df(spark, 150))
+    comps = out["components"].collect()
+    assert len(comps) > 0
+    # each merged group collapses to its minimum entity id
+    assert all(r["component"] <= r["node"] for r in comps)
+
+
+def test_plan_guards(spark, sf_dir):
+    """Regression guards for the plans we rely on at scale: parquet filter
+    pushdown and broadcast joins for dictionary-sized tables."""
+    import __spark_entry__ as m
+
+    plan = m.q_filter_project(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "EqualTo(lang,en)" in plan
+
+    plan2 = m.q_join_agg(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2 or "broadcast" in plan2.lower()
+
+    plan3 = m.q_kg_mentions_by_pred(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan3

@@ -30,6 +30,12 @@ def default_alias_dict(spark: SparkSession) -> DataFrame:
     for t in sorted(TYPE_HINTS):
         rows.append((lex_norm(t), eid, "TYPE", 0.8))
         eid += 1
+    # ambiguous aliases: the same surface maps to several entity ids — these
+    # are exactly the edges canonicalization must collapse (hub-entity case)
+    ambiguous = ["молоко", "вода", lex_norm("santa")]
+    for a in ambiguous:
+        rows.append((a, eid, "DUP", 0.5))
+        eid += 1
     return spark.createDataFrame(
         rows, "alias_norm string, entity_id long, entity_kind string, prior double"
     )
@@ -60,7 +66,10 @@ def run_pipeline(
     cand = candidates.run(ments, adict)
     linked = linking.run(cand)
 
-    edges = canonicalize.entity_similarity_edges(linked)
+    # similarity edges come from the FULL candidate set (an ambiguous alias
+    # links several entities); `linked` keeps only the argmax winner and so
+    # can never produce a merge edge
+    edges = canonicalize.entity_similarity_edges(cand)
     comp = canonicalize.connected_components(edges)
 
     # node/edge tables: canonical entity nodes + (page)-[pred]->(entity) edges
