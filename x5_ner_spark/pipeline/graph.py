@@ -70,6 +70,15 @@ def write_stage(
     todo = pending_parts(spark, root, stage, n_buckets) if resume else list(range(n_buckets))
     if not todo:
         return []
+    # crash-consistency: a bucket dir without a manifest row means a prior
+    # run died mid-write — clear it before re-appending (on Iceberg this is
+    # a table-commit rollback; on the filesystem it's a directory delete)
+    import shutil
+
+    for p in todo:
+        part_dir = os.path.join(root, stage, f"part_id={p}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir, ignore_errors=True)
     t0 = time.time()
     bucketed = with_bucket(df, key, n_buckets).filter(F.col("part_id").isin(todo))
     out_path = os.path.join(root, stage)

@@ -59,17 +59,25 @@ def run(
     brand_lexicon: list[str] | None = None,
     spark: SparkSession | None = None,
     balance: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """docs(url, text, ...) → + spans array<struct<start,end,tag>>."""
+    """docs(url, text, ...) → + spans array<struct<start,end,tag>>.
+
+    ``balance`` range-partitions on text length so Python workers get
+    byte-balanced batches (a few huge documents otherwise skew task times —
+    SURVEY.md §4 custom item 2). Lexicons above broadcast-pickle size go
+    through a real sparkContext.broadcast."""
     lex = frozenset(brand_lexicon or [])
     if spark is not None and len(lex) > 64:
         lex = spark.sparkContext.broadcast(lex)
     if balance:
-        docs = docs.withColumn("_n_chars", F.length("text"))
-        docs = docs.repartitionByRange(
-            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32") and
-            int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            "_n_chars", "url",
-        ).drop("_n_chars")
+        n = num_partitions or int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        docs = (
+            docs.withColumn("_n_chars", F.length("text"))
+            .repartitionByRange(n, "_n_chars", "url")
+            .drop("_n_chars")
+        )
     udf = make_mentions_udf(lex, postprocessed=True)
     return docs.withColumn("spans", udf(F.col("text")))
