@@ -44,15 +44,21 @@ def projection_buckets(emb: DataFrame, n_planes: int = 8, vec_col: str = "embedd
     plane_j[i] = ±1 by bit of portable_hash32(j||i)."""
     dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
     bits = []
-    for j in range(n_planes):
-        signs = F.transform(
+
+    def plane_signs(j: int):
+        # closure-bind j: a 2-param HOF lambda would receive the array index
+        # as its second argument and corrupt the salt
+        salt = f"#p{j}"
+        return F.transform(
             dim_idx,
-            lambda i, j=j: F.when(
-                portable_hash32(i.cast("string"), salt=f"#p{j}") % 2 == 0, F.lit(1.0)
+            lambda i: F.when(
+                portable_hash32(i.cast("string"), salt=salt) % 2 == 0, F.lit(1.0)
             ).otherwise(F.lit(-1.0)),
         )
+
+    for j in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(F.col(vec_col), signs, lambda a, s: a.cast("double") * s),
+            F.zip_with(F.col(vec_col), plane_signs(j), lambda a, s: a.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
