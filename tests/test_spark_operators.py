@@ -129,3 +129,39 @@ def test_serialize_udf_matches_core(spark):
     df = spark.createDataFrame([(spans,)], f"spans {SPAN_ARRAY.simpleString()}")
     got = df.select(serialize_spans_udf("spans").alias("s")).first()["s"]
     assert got == serialize_spans([(7, 11, "B-PERCENT"), (0, 6, "B-TYPE")])
+
+
+def test_overwrite_spans_for_keys(spark):
+    subs = spark.createDataFrame(
+        [("молоко 1%", [{"start": 0, "end": 6, "tag": "B-TYPE"}]),
+         ("сок", [{"start": 0, "end": 3, "tag": "B-TYPE"}])],
+        f"sample string, spans {SPAN_ARRAY.simpleString()}",
+    )
+    rules = spark.createDataFrame([("молоко 1%",)], "sample string")
+    out = {r["sample"]: [(s["start"], s["end"], s["tag"]) for s in r["spans"]]
+           for r in span_native.overwrite_spans_for_keys(subs, rules).collect()}
+    assert out["молоко 1%"] == [(0, 9, "O")]
+    assert out["сок"] == [(0, 3, "B-TYPE")]
+
+
+def test_write_stage_crash_resume(spark, tmp_path):
+    """A bucket dir without its manifest row (crash mid-write) is cleared and
+    rewritten on resume — no duplicate rows."""
+    import os
+    from x5_ner_spark.pipeline import graph
+
+    df = spark.range(100).select(F.col("id"), F.col("id").cast("string").alias("k"))
+    root = str(tmp_path / "g")
+    graph.write_stage(df, root, "s", key="k", n_buckets=2)
+    n0 = graph.read_stage(spark, root, "s").count()
+    # simulate crash: delete ONE bucket's manifest rows but keep its files
+    m = spark.read.parquet(graph.manifest_path(root))
+    kept = m.filter(F.col("part_id") != 0)
+    kept.write.mode("overwrite").parquet(str(tmp_path / "m2"))
+    spark.read.parquet(str(tmp_path / "m2")).write.mode("overwrite").parquet(
+        graph.manifest_path(root)
+    )
+    assert graph.pending_parts(spark, root, "s", 2) == [0]
+    written = graph.write_stage(df, root, "s", key="k", n_buckets=2)
+    assert written == [0]
+    assert graph.read_stage(spark, root, "s").count() == n0  # no dupes

@@ -120,3 +120,28 @@ def bio_merge_windowed(exploded: DataFrame, id_col: str = "doc_id") -> DataFrame
         .drop("island")
     )
     return ents
+
+
+def overwrite_spans_for_keys(
+    submission: DataFrame, ruleset_keys: DataFrame, key: str = "sample",
+    text_col: str = "sample", spans_col: str = "spans",
+) -> DataFrame:
+    """J4 (ref scripts/update_submission_rules.py:29-56): rows whose key is in
+    the ruleset get their annotation overwritten with a single full-length
+    'O' span [(0, len(text), 'O')]. Broadcast left join + conditional
+    rewrite — no Python."""
+    marked = submission.join(
+        F.broadcast(ruleset_keys.select(F.col(key)).distinct().withColumn("_hit", F.lit(1))),
+        key,
+        "left",
+    )
+    o_span = F.array(
+        F.struct(
+            F.lit(0).alias("start"),
+            F.length(F.col(text_col)).cast("int").alias("end"),
+            F.lit("O").alias("tag"),
+        )
+    )
+    return marked.withColumn(
+        spans_col, F.when(F.col("_hit") == 1, o_span).otherwise(F.col(spans_col))
+    ).drop("_hit")
