@@ -329,6 +329,18 @@ def q_error_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_buckets(gold, pred)
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured decode: parse events.props JSON, aggregate per type
+    (get_json_object → JVM-side JSON path, no UDF)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search (LSH-bucketed approximate top-k) — rows-only check
     (hyperplane construction is engine-internal)."""
@@ -373,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "components": q_components,
         "lsh_topk": q_lsh_topk,
+        "json_props": q_json_props,
         "sort_limit": q_sort_limit,
         "group_sizes": q_group_sizes,
         "summary_stats": q_summary_stats,
@@ -702,6 +715,15 @@ def oracle_sql() -> dict[str, str]:
     """
     # DuckDB requires WITH RECURSIVE for self-referencing CTEs
     sql["components"] = sql["components"].replace("WITH le AS", "WITH RECURSIVE le AS")
+
+    sql["json_props"] = """
+        SELECT event_type,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        FROM events GROUP BY event_type
+    """
 
     sql["sort_limit"] = """
         SELECT doc_id, substr(text, 1, 40) AS head40
