@@ -329,6 +329,25 @@ def q_error_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_buckets(gold, pred)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label embedding centroid norm + dims (the
+    array itself stays out of the comparison; summary stats are hashed)."""
+    cent = similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+    norm = F.sqrt(F.aggregate("centroid", F.lit(0.0), lambda a, v: a + v * v))
+    return cent.select(
+        "label",
+        F.size("centroid").alias("dim"),
+        F.round(norm, 4).alias("centroid_norm"),
+        F.round(F.element_at("centroid", 1), 4).alias("c0"),
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (rows-only: quantizer is engine-internal)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured decode: parse events.props JSON, aggregate per type
     (get_json_object → JVM-side JSON path, no UDF)."""
@@ -385,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "components": q_components,
         "lsh_topk": q_lsh_topk,
+        "label_centroids": q_label_centroids,
+        "ivf_topk": q_ivf_topk,
         "json_props": q_json_props,
         "sort_limit": q_sort_limit,
         "group_sizes": q_group_sizes,
@@ -715,6 +736,19 @@ def oracle_sql() -> dict[str, str]:
     """
     # DuckDB requires WITH RECURSIVE for self-referencing CTEs
     sql["components"] = sql["components"].replace("WITH le AS", "WITH RECURSIVE le AS")
+
+    sql["label_centroids"] = """
+        WITH ex AS (
+          SELECT label, r.i AS dim, embedding[r.i + 1] AS v
+          FROM embeddings, LATERAL unnest(range(len(embedding))) AS r(i)),
+        per AS (SELECT label, dim, AVG(v) AS m FROM ex GROUP BY label, dim),
+        agg AS (SELECT label, COUNT(*) AS dim_n, SUM(m * m) AS ss,
+                       MAX(CASE WHEN dim = 0 THEN m END) AS c0
+                FROM per GROUP BY label)
+        SELECT label, CAST(dim_n AS INT) AS dim,
+               ROUND(SQRT(ss), 4) AS centroid_norm, ROUND(c0, 4) AS c0
+        FROM agg
+    """
 
     sql["json_props"] = """
         SELECT event_type,

@@ -87,3 +87,17 @@ def test_lead_prefix_scalable_matches_global(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.sum("prefix_match").alias("m")
     ).first()
     assert (simple["n"], simple["m"]) == (scalable["n"], scalable["m"])
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from x5_ner_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in similarity.brute_force_topk(emb, q, k=3).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_topk(emb, q, k=3, n_probe=4).collect()}
+    # approximate: every IVF hit must be a real corpus vector pair; recall
+    # against exact top-3 is reported and must be non-trivial on 64-dim data
+    recall = len(bf & ivf) / len(bf)
+    assert len(ivf) == len(bf) == 15
+    assert recall >= 0.2, recall

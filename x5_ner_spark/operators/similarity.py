@@ -92,3 +92,64 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def label_centroids(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid: element-wise mean via posexplode → avg per (label,
+    dim) → reassemble. Native; one shuffle on (label, dim)."""
+    exploded = emb.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
+    per_dim = exploded.groupBy(label_col, "dim").agg(F.avg("v").alias("m"))
+    return (
+        per_dim.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_dm"))
+        .withColumn("centroid", F.transform("_dm", lambda s: s["m"]))
+        .drop("_dm")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 3, n_cells: int = 8,
+    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a deterministic coarse quantizer (the
+    first ``n_cells`` corpus vectors as centroids, broadcast), corpus rows
+    assigned to their nearest cell, queries probe their ``n_probe`` nearest
+    cells, exact cosine rescoring inside the probed cells.
+
+    At 100 TB the cell assignment is one broadcast pass and the search joins
+    only |query|·n_probe cells instead of the full corpus."""
+    cents = corpus.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
+    )
+
+    def nearest_cells(df, vcol, keep, n):
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "cell_cos", cosine_similarity_col(F.col(vcol), F.col("cv"))
+        )
+        w = Window.partitionBy(*keep).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+        return (
+            scored.withColumn("cr", F.row_number().over(w))
+            .filter(F.col("cr") <= n)
+            .drop("cv", "cell_cos", "cr")
+        )
+
+    c_assigned = nearest_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
+        "nv", ["neighbor_id"], 1,
+    )
+    q_assigned = nearest_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv", ["query_id"], n_probe,
+    )
+    scored = (
+        c_assigned.join(q_assigned, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_similarity_col(F.col("qv"), F.col("nv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
