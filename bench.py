@@ -96,8 +96,8 @@ def run_headline(master: str, include_pipeline: bool = True) -> dict:
     return {"total_sec": round(total, 3), "queries": times, **extras}
 
 
-SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "150000"))
-SCALING_SENTENCES = int(os.environ.get("SPARK_GRAFT_SCALING_SENTENCES", "8"))
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "240000"))
+SCALING_SENTENCES = int(os.environ.get("SPARK_GRAFT_SCALING_SENTENCES", "12"))
 
 
 def scaling_child(cores: int) -> None:
@@ -135,7 +135,7 @@ def run_scaling() -> dict:
     host — neighbor load makes single runs noisy; best-of isolates the
     engine's own scaling). Pair configurable: SPARK_GRAFT_SCALING_CORES."""
     lo, hi = (
-        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
     )
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     results: dict[int, dict] = {}

@@ -1,7 +1,10 @@
 """End-to-end KG pipeline driver: pages → graph tables.
 
-Entry point for ``spark-submit --py-files x5_ner_spark.zip
-x5_ner_spark/pipeline/runner.py --pages <path> --out <dir>``.
+Launch via the repo-root shim (spark-submit runs the script as __main__,
+which breaks relative imports on module files):
+
+    spark-submit --master ... --py-files x5_ner_spark.zip kg_submit.py \
+        --pages <parquet> --out <dir> [--buckets K]
 """
 
 from __future__ import annotations
