@@ -83,11 +83,12 @@ def run_headline(master: str, include_pipeline: bool = True) -> dict:
 
         # linear throughput path (what dominates at 10^12 docs): extract →
         # mention inference → triples, one Arrow-stage job
+        from x5_ner_spark.pipeline import fused
+
         pages = pages_df(spark, PIPELINE_PAGES, sentences=4).localCheckpoint()
         pages.count()
         t0 = time.time()
-        men = mentions.run(extract.run(pages).select("url", "text"), None, spark)
-        _noop_write(triples.run(men))
+        _noop_write(fused.fused_triples(pages))
         dt = time.time() - t0
         times["kg_linear"] = round(dt, 3)
         total += dt
@@ -112,7 +113,7 @@ def scaling_child(cores: int) -> None:
     rule's criterion is about."""
     from x5_ner_spark.session import get_spark
     from x5_ner_spark.pipeline.fixtures import pages_df
-    from x5_ner_spark.pipeline import extract, mentions, triples
+    from x5_ner_spark.pipeline import fused
 
     spark = get_spark(master=f"local[{cores}]", app_name=f"x5-scaling-{cores}",
                       shuffle_partitions=max(2 * cores, 16))
@@ -121,9 +122,7 @@ def scaling_child(cores: int) -> None:
     ).localCheckpoint()
     pages.count()  # input fully materialized before the clock starts
     t0 = time.time()
-    docs = extract.run(pages)
-    men = mentions.run(docs.select("url", "text"), None, spark)
-    _noop_write(triples.run(men))
+    _noop_write(fused.fused_triples(pages))
     dt = time.time() - t0
     print(json.dumps({"cores": cores, "wall_sec": round(dt, 3),
                       "docs_per_sec": round(SCALING_PAGES / dt, 1)}))

@@ -64,6 +64,13 @@ class NerEngine:
     def triples(self, docs: DataFrame, subj_col: str = "url") -> DataFrame:
         return triples_stage.run(self.detect(docs), subj_col=subj_col)
 
+    def triples_fast(self, pages: DataFrame, balance: bool = True) -> DataFrame:
+        """Single-Arrow-stage pages→triples (pipeline.fused) — row-identical
+        to extract→detect→triples, one JVM↔Python hop instead of three."""
+        from .pipeline.fused import fused_triples
+
+        return fused_triples(pages, self._lexset, balance=balance)
+
     def build_graph(self, pages: DataFrame, out_root: str | None = None, **kw):
         return runner.run_pipeline(
             self.spark, pages, out_root=out_root,
