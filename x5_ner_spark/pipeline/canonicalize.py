@@ -80,10 +80,12 @@ def connected_components(
     ).localCheckpoint()
 
     def _sig(df: DataFrame) -> tuple:
-        # one-job convergence signature: (row count, order-insensitive hash sum)
+        # one-job convergence signature: (row count, order-insensitive hash
+        # sum). Hashes are reduced mod a 31-bit prime so the sum cannot
+        # overflow long even under ANSI mode (raw xxhash64 sums do).
         r = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("src", "dst")).alias("h"),
+            F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(2147483647))).alias("h"),
         ).first()
         return (r["n"], r["h"])
 
