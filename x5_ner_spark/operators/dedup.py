@@ -41,15 +41,31 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5, sample_mod: int = 1
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, sample_mod: int = 1,
+    df_cap_fraction: float | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shared-shingle blocking:
     |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|. Quadratic blowup is
-    bounded because only docs sharing a shingle ever meet."""
+    bounded because only docs sharing a shingle ever meet.
+
+    ``df_cap_fraction``: at web scale, boilerplate shingles appear in a huge
+    fraction of documents and quadratically dominate the self-join; setting
+    e.g. 0.001 drops shingles present in >0.1% of docs BEFORE the join (one
+    extra groupBy). Off by default (exact semantics for the oracle gate)."""
     d = docs
     if sample_mod > 1:
         d = d.filter(F.col("doc_id") % sample_mod == 0)
     sh = shingles(d, k).distinct()
+    if df_cap_fraction is not None:
+        n_docs = d.count()
+        cap = max(int(n_docs * df_cap_fraction), 2)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
