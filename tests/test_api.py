@@ -41,3 +41,43 @@ def test_jaccard_df_cap_drops_boilerplate(spark):
     without = jaccard_pairs(docs, k=3, threshold=0.2, df_cap_fraction=0.2)
     assert with_pairs.count() > 0
     assert without.count() == 0
+
+
+def test_lexicon_build_to_engine_roundtrip(spark, tmp_path):
+    """A1 lexicon build → S5 write/read → engine consumes it (the reference's
+    build_brand_lexicon.py → infer.py flow, end-to-end in Spark)."""
+    from x5_ner_spark.operators.span_udfs import SPAN_ARRAY
+    from x5_ner_spark.pipeline.mentions import build_brand_lexicon
+    from x5_ner_spark.sources import lexicon as lex_src
+
+    annotated = spark.createDataFrame(
+        [("чай greenfield", [{"start": 4, "end": 14, "tag": "B-BRAND"}]),
+         ("вода святой источник", [{"start": 5, "end": 20, "tag": "B-BRAND"}])],
+        f"text string, spans {SPAN_ARRAY.simpleString()}",
+    )
+    p = str(tmp_path / "brand_lex")
+    lex_src.write_lexicon(build_brand_lexicon(annotated), p)
+    terms = lex_src.read_lexicon_set(spark, p)
+    assert "greenfield" in terms and "источник" in terms
+
+    eng = NerEngine(spark, brand_lexicon=sorted(terms))
+    spans = eng.predict_entities("чай greenfield")
+    assert any(t.endswith("BRAND") for _, _, t in spans), spans
+    # faithful cascade semantics: lexicon membership alone does NOT brand a
+    # token the model gives < 0.2 brand mass (infer.py:367) — Cyrillic
+    # unknowns stay O under the stub model
+    weak = NerEngine(spark, brand_lexicon=["добрый"]).predict_entities("сок добрый")
+    assert (4, 10, "O") in weak
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    from x5_ner_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.brute_force_topk(emb, q, k=3).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.lsh_topk(emb, q, k=3, n_planes=4).collect()}
+    # approximate: some recall, never more than k per query
+    assert 0 < len(lsh) <= len(bf)
