@@ -85,9 +85,32 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     return [(m.group(0), m.start(), m.end()) for m in WORD_RE.finditer(text)]
 
 
+# --- cheap superset pre-checks gating the expensive regex scans -----------
+# Every branch of the word-number grammar REQUIRES one of these substrings
+# (numeral stems chosen so every 11-19/tens composite contains its stem,
+# e.g. "четырнадцать" ⊃ "четыр"); RE_HALF_* require "пол"/"проц". The digit
+# regexes all require a \p{Nd} char, and str.isdigit() is a superset of
+# \p{Nd}. A gate firing spuriously only costs the regex scan it replaced.
+_WORDNUM_TRIGGERS = (
+    "ноль", "один", "одна", "одно", "два", "две", "три", "четыр", "пят",
+    "шест", "сем", "восем", "девя", "деся", "сорок", "пол", "проц",
+)
+
+
+def _has_digit(text: str) -> bool:
+    return any(c.isdigit() for c in text)
+
+
+def _has_wordnum_trigger(low: str) -> bool:
+    return any(t in low for t in _WORDNUM_TRIGGERS)
+
+
 def _shared_regex_spans(text: str) -> dict[str, list[tuple[int, int]]]:
     """The four regexes used by BOTH the explicit extractor and the implicit
-    pass's explicit-guard (ref recomputes them; we scan once per text)."""
+    pass's explicit-guard (ref recomputes them; we scan once per text).
+    All four require a digit — gated on the cheap superset check."""
+    if not _has_digit(text):
+        return {"pct_sign": [], "pct_word": [], "multipack": [], "volume": []}
     return {
         "pct_sign": [m.span() for m in RE_PERCENT_SIGN.finditer(text)],
         "pct_word": [m.span() for m in RE_PERCENT_WORD.finditer(text)],
@@ -107,12 +130,16 @@ def explicit_numeric_spans(
     out: list[Span] = []
     for key in ("pct_sign", "pct_word"):
         out.extend((s, e, "B-PERCENT") for s, e in shared[key])
-    for rx in (RE_WORD_PERCENT, RE_HALF_PERCENT):
-        for m in rx.finditer(text):
-            out.append((m.start(), m.end(), "B-PERCENT"))
+    if _has_wordnum_trigger(text.lower()):
+        for rx in (RE_WORD_PERCENT, RE_HALF_PERCENT):
+            for m in rx.finditer(text):
+                out.append((m.start(), m.end(), "B-PERCENT"))
+        out_wordnum = word_number_volume_spans(text)
+    else:
+        out_wordnum = []
     for key in ("multipack", "volume"):
         out.extend((s, e, "B-VOLUME") for s, e in shared[key])
-    out.extend(word_number_volume_spans(text))
+    out.extend(out_wordnum)
 
     # adjective + volume-noun phrases: "больш*/огромн*" + "объем*/обьем*"
     toks = tokens if tokens is not None else tokenize_with_offsets(text)
@@ -147,6 +174,8 @@ def implicit_numeric_spans(
     """Classify bare numbers by context (ref: improved_preprocessing.py:225-274):
     0 → PERCENT; 1..99 near a fatty-product word → PERCENT; ≥100 or (pack word
     nearby and ≥2) → VOLUME; 'размер N' → skipped."""
+    if not _has_digit(text):
+        return []  # RE_NUMBER requires a digit; nothing to classify
     raw_toks = tokens if tokens is not None else tokenize_with_offsets(text)
     toks = [(normalize_token(t), s, e) for t, s, e in raw_toks]
 
