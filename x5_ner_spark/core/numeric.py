@@ -80,9 +80,19 @@ PACK_WORDS = frozenset(
 SIZE_WORDS = frozenset({normalize_token("размер")})
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _tokenize_cached(text: str) -> tuple[tuple[str, int, int], ...]:
+    return tuple((m.group(0), m.start(), m.end()) for m in WORD_RE.finditer(text))
+
+
 def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
-    """Word tokens with char offsets (ref word pattern improved_preprocessing.py:12)."""
-    return [(m.group(0), m.start(), m.end()) for m in WORD_RE.finditer(text)]
+    """Word tokens with char offsets (ref word pattern improved_preprocessing.py:12).
+    Small LRU so the detect pass and the numeric pass of the SAME document
+    tokenize once (cache is per Python worker, bounded)."""
+    return list(_tokenize_cached(text))
 
 
 # --- cheap superset pre-checks gating the expensive regex scans -----------

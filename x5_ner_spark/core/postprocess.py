@@ -108,6 +108,12 @@ def merge_model_and_numeric(text: str, base: list[Span], add: list[Span]) -> lis
         return sorted(set(base), key=lambda x: (x[0], x[1], x[2]))
     out: list[Span] = list(base)
     for s, e, t in add:
+        # fast path: an add span that duplicates/overlaps NOTHING in the
+        # current fold state is simply appended — identical to running the
+        # rebuild loop below (every branch there keeps non-overlapping rows)
+        if not any(ss < e and ee > s for ss, ee, _ in out):
+            out.append((s, e, t))
+            continue
         keep_add = True
         kept: list[Span] = []
         for ss, ee, tt in out:
