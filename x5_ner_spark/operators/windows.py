@@ -2,10 +2,11 @@
 gaps-and-islands sessionization (W2 pattern), lag relabel (W3), and
 lag-conditioned zeroing (W7 analog) — all native window functions.
 
-Scale note: every window here partitions by a bounded key (user_id) — no
-global unpartitioned windows except the explicitly-global W1/J6 operators,
-which the reference defines over a total order (update_rules.py:33-48) and
-which are inherently single-ordering; those stay range-partitioned sorts.
+Scale note: every window here partitions by a bounded key (user_id) except
+the explicitly-global W1/J6 operators, which the reference defines over a
+total order (update_rules.py:33-48). For W1 the distributed form is
+``lead_prefix_flags_scalable`` (range partitions + boundary stitching);
+the plain form is kept for oracle parity.
 """
 
 from __future__ import annotations
