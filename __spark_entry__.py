@@ -348,6 +348,60 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
+def q_term_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 relational form: tokens within ±2 positions of an anchor term
+    ('spark'), counted — the char-window context operator as a positional
+    self-join over an exploded token table."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(simple_tokens_col(F.lower("text"))).alias("pos", "term")
+    )
+    anchors = toks.filter(F.col("term") == "spark").select(
+        "doc_id", F.col("pos").alias("apos")
+    )
+    ctx = toks.join(anchors, "doc_id").filter(
+        (F.abs(F.col("pos") - F.col("apos")) <= 2) & (F.col("pos") != F.col("apos"))
+    )
+    return (
+        ctx.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(30)
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 events by value per event_type (row_number window, deterministic
+    tiebreaks) — the generic top-k-per-group shape linking uses."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("event_type", "event_id", F.round("value", 2).alias("value"),
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def q_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup drop list: every doc in a duplicate group
+    (same first-5-token fingerprint) except the minimum-id keeper. (The
+    corpus has no byte-exact duplicates — exact_dups covers that trivially —
+    so this exercises the keeper/drop policy on real groups.)"""
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(simple_tokens_col(F.lower("text")), 1, 5))
+    fps = docs.select("doc_id", F.md5(prefix).alias("fp"))
+    w = Window.partitionBy("fp")
+    return (
+        fps.withColumn("keep", F.min("doc_id").over(w))
+        .withColumn("grp_n", F.count(F.lit(1)).over(w))
+        .filter((F.col("grp_n") > 1) & (F.col("doc_id") != F.col("keep")))
+        .select("doc_id", F.col("keep").alias("keep_id"))
+    )
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured decode: parse events.props JSON, aggregate per type
     (get_json_object → JVM-side JSON path, no UDF)."""
@@ -404,6 +458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "components": q_components,
         "lsh_topk": q_lsh_topk,
+        "term_contexts": q_term_contexts,
+        "topk_per_group": q_topk_per_group,
+        "dedup_dropped": q_dedup_dropped,
         "label_centroids": q_label_centroids,
         "ivf_topk": q_ivf_topk,
         "json_props": q_json_props,
@@ -736,6 +793,43 @@ def oracle_sql() -> dict[str, str]:
     """
     # DuckDB requires WITH RECURSIVE for self-referencing CTEs
     sql["components"] = sql["components"].replace("WITH le AS", "WITH RECURSIVE le AS")
+
+    sql["term_contexts"] = """
+        WITH toks AS (
+          SELECT doc_id, t.p.term AS term, t.p.ord - 1 AS pos
+          FROM documents,
+          LATERAL unnest(list_transform(
+            list_filter(string_split(lower(text), ' '), x -> x <> ''),
+            (x, i) -> {'term': x, 'ord': i})) AS t(p)),
+        anchors AS (SELECT doc_id, pos AS apos FROM toks WHERE term = 'spark'),
+        ctx AS (SELECT t.term FROM toks t JOIN anchors a
+                ON t.doc_id = a.doc_id AND abs(t.pos - a.apos) <= 2
+                AND t.pos <> a.apos)
+        SELECT term, COUNT(*) AS n FROM ctx GROUP BY term
+        ORDER BY n DESC, term ASC LIMIT 30
+    """
+
+    sql["topk_per_group"] = """
+        WITH r AS (SELECT event_type, event_id, value,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY value DESC, event_id ASC) AS rk
+                   FROM events)
+        SELECT event_type, event_id, ROUND(value, 2) AS value, CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= 2
+    """
+
+    sql["dedup_dropped"] = """
+        WITH fps AS (SELECT doc_id,
+                            md5(array_to_string(
+                              list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')[1:5], ' ')) AS fp
+                     FROM documents),
+        g AS (SELECT doc_id, fp,
+                     MIN(doc_id) OVER (PARTITION BY fp) AS keep_id,
+                     COUNT(*) OVER (PARTITION BY fp) AS grp_n
+              FROM fps)
+        SELECT doc_id, keep_id FROM g WHERE grp_n > 1 AND doc_id <> keep_id
+    """
 
     sql["label_centroids"] = """
         WITH ex AS (
