@@ -31,3 +31,20 @@ def test_fused_edge_inputs(spark):
     out = fused.fused_triples(df, balance=False).collect()
     urls = {r["url"] for r in out}
     assert "u1" not in urls and "u2" not in urls and "u3" not in urls
+
+
+def test_batch_mention_fn_identical_to_scalar(spark):
+    from x5_ner_spark.core.mention_pipeline import (
+        final_mention_spans,
+        final_mention_spans_batch,
+    )
+    from x5_ner_spark.core.html_text import extract_text
+    from x5_ner_spark.pipeline.fixtures import generate_pages
+
+    lex = frozenset(["простоквашино", "santa"])
+    lexl = sorted(lex)
+    texts = [extract_text(p["html"]) for p in generate_pages(120, sentences=2)]
+    texts += ["", "   ", "молоко 3,2% 1 л"]
+    batch = final_mention_spans_batch(texts, lex, lexl, max_words_per_microbatch=7)
+    for t, got in zip(texts, batch):
+        assert got == final_mention_spans(t, lex, lexl), repr(t)

@@ -14,8 +14,8 @@ from .cascade import decide_word_labels
 from .numeric import tokenize_with_offsets
 from .postprocess import postprocess
 from .spans import Span, bio_to_entities, serialize_spans
-from .stub_model import word_probabilities
-from .textnorm import norm_basic
+from .stub_model import batch_probabilities, word_probabilities
+from .textnorm import norm_basic, norm_token_simple
 
 PRED_BY_TYPE = {
     "TYPE": "is_type",
@@ -48,6 +48,53 @@ def final_mention_spans(
     if not raw:
         return []
     return postprocess(text, raw)
+
+
+def final_mention_spans_batch(
+    texts: list[str],
+    brand_lexicon: frozenset[str] = frozenset(),
+    brand_lexicon_list: list[str] | None = None,
+    max_words_per_microbatch: int = 8192,
+) -> list[list[Span]]:
+    """Batched variant of :func:`final_mention_spans` — the N3 inference
+    shape: all words of the Arrow batch go through the model in token-count-
+    capped micro-batches (ONE vectorized call per ≤8192 unique words), then
+    the per-document cascade/post-process runs on the shared probabilities.
+    Output is element-wise identical to the per-text function (the scalar
+    path delegates to the same batch kernel)."""
+    words_per_text: list[list[tuple[int, int]] | None] = []
+    keys: list[tuple[str, bool]] = []
+    for t in texts:
+        if not t or not t.strip():
+            words_per_text.append(None)
+            continue
+        words = [(s, e) for _, s, e in tokenize_with_offsets(t)]
+        words_per_text.append(words)
+        keys.extend(
+            (norm_token_simple(t[s:e]), i > 0) for i, (s, e) in enumerate(words)
+        )
+
+    uniq = list(dict.fromkeys(keys))
+    probs_map: dict[tuple[str, bool], object] = {}
+    for lo in range(0, len(uniq), max_words_per_microbatch):
+        chunk = uniq[lo : lo + max_words_per_microbatch]
+        mat = batch_probabilities(chunk)
+        for k, row in zip(chunk, mat):
+            probs_map[k] = row
+
+    lex_list = brand_lexicon_list if brand_lexicon_list is not None else sorted(brand_lexicon)
+    out: list[list[Span]] = []
+    for t, words in zip(texts, words_per_text):
+        if words is None:
+            out.append([])
+            continue
+        probs = [
+            probs_map[(norm_token_simple(t[s:e]), i > 0)]
+            for i, (s, e) in enumerate(words)
+        ]
+        raw = decide_word_labels(t, words, probs, brand_lexicon, lex_list)
+        out.append(postprocess(t, raw) if raw else [])
+    return out
 
 
 def annotate(text: str, brand_lexicon: frozenset[str] = frozenset()) -> str:

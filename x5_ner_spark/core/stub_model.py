@@ -36,8 +36,30 @@ def _hash_floats(key: str, n: int) -> list[float]:
     return out
 
 
-@lru_cache(maxsize=1 << 16)
-def _probs_cached(tok: str, continuation: bool) -> tuple[float, ...]:
+# ---------------------------------------------------------------- batched
+# Vectorized batch API — the shape a real checkpoint plugs into (N3):
+# token batch in, [n, 9] probability matrix out, computed with numpy matmuls
+# so the executor does true batched inference. The "weights" here are the
+# deterministic hash noise + rule biases of the pinned stub spec; swapping in
+# ONNX/torch replaces ONLY batch_probabilities' body.
+
+def batch_probabilities(tokens_conts: "list[tuple[str, bool]]"):
+    """[(norm_token, is_continuation)] → numpy [n, 9] softmax rows.
+    Identical values to word_probabilities (which delegates here)."""
+    import numpy as np
+
+    n = len(tokens_conts)
+    if n == 0:
+        return np.zeros((0, _N))
+    logits = np.empty((n, _N))
+    for r, (tok, cont) in enumerate(tokens_conts):
+        logits[r, :] = _logits(tok, cont)
+    m = logits.max(axis=1, keepdims=True)
+    e = np.exp(logits - m)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def _logits(tok: str, continuation: bool) -> list[float]:
     base = _hash_floats(tok, _N)
     logits = [b * 0.5 for b in base]  # small deterministic noise
     logits[_IDX["O"]] += 1.0
@@ -47,10 +69,14 @@ def _probs_cached(tok: str, continuation: bool) -> tuple[float, ...]:
         logits[_IDX["I-TYPE" if continuation else "B-TYPE"]] += 4.0
     elif is_pure_latin(tok) and len(tok) >= 3:
         logits[_IDX["B-BRAND"]] += 3.5
-    m = max(logits)
-    exps = [math.exp(x - m) for x in logits]
-    z = sum(exps)
-    return tuple(x / z for x in exps)
+    return logits
+
+
+@lru_cache(maxsize=1 << 16)
+def _probs_cached(tok: str, continuation: bool) -> tuple[float, ...]:
+    # delegate to the batch path so scalar and batched inference are
+    # bit-identical (same numpy softmax)
+    return tuple(float(x) for x in batch_probabilities([(tok, continuation)])[0])
 
 
 def word_probabilities(token: str, position: int = 0) -> list[float]:

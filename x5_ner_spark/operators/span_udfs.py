@@ -89,7 +89,7 @@ def make_mentions_udf(brand_lexicon=frozenset(), *, postprocessed: bool = True):
     worker per partition via the iterator form — the Spark analog of the
     reference's lazy model singleton (service/app.py:20-34)."""
 
-    fn = final_mention_spans if postprocessed else detect_mention_spans
+    from ..core.mention_pipeline import final_mention_spans_batch
 
     @pandas_udf(SPAN_ARRAY)
     def mentions(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -97,9 +97,19 @@ def make_mentions_udf(brand_lexicon=frozenset(), *, postprocessed: bool = True):
         lex = frozenset(lex)
         lex_list = sorted(lex)
         for batch in texts:
-            yield batch.map(
-                lambda t: _spans_to_rows(fn(t, lex, lex_list)) if t else []
-            )
+            if postprocessed:
+                # batched N3 shape: one vectorized model call per micro-batch
+                # of words across the whole Arrow batch
+                spans = final_mention_spans_batch(
+                    ["" if t is None else t for t in batch], lex, lex_list
+                )
+                yield pd.Series([_spans_to_rows(s) for s in spans])
+            else:
+                yield batch.map(
+                    lambda t: _spans_to_rows(detect_mention_spans(t, lex, lex_list))
+                    if t
+                    else []
+                )
 
     return mentions
 

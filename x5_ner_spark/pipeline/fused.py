@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core.html_text import extract_text
-from ..core.mention_pipeline import final_mention_spans, triples_from_spans
+from ..core.mention_pipeline import final_mention_spans_batch, triples_from_spans
 
 TRIPLES_SCHEMA = "subj string, pred string, obj string, url string"
 
@@ -52,14 +52,18 @@ def fused_triples(
         lex = frozenset(lex or [])
         lex_list = sorted(lex)
         for pdf in batches:
-            out: dict[str, list] = {"subj": [], "pred": [], "obj": [], "url": []}
+            urls, docs = [], []
             for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
                 # same fallback predicate as extract.run: only null/empty
                 # text triggers extraction (whitespace-only text stays as-is)
                 t = text if isinstance(text, str) and len(text) > 0 else extract_text(html)
                 if not t or not t.strip():
                     continue
-                spans = final_mention_spans(t, lex, lex_list)
+                urls.append(url)
+                docs.append(t)
+            spans_per_doc = final_mention_spans_batch(docs, lex, lex_list)
+            out: dict[str, list] = {"subj": [], "pred": [], "obj": [], "url": []}
+            for url, t, spans in zip(urls, docs, spans_per_doc):
                 for subj, pred, obj in triples_from_spans(url, t, spans):
                     out["subj"].append(subj)
                     out["pred"].append(pred)
