@@ -17,6 +17,8 @@ from .spans import Span, bio_to_entities, serialize_spans
 from .stub_model import batch_probabilities, word_probabilities
 from .textnorm import norm_basic, norm_token_simple
 
+_BATCH_PROB_CACHE: dict[tuple[str, bool], tuple[float, ...]] = {}
+
 PRED_BY_TYPE = {
     "TYPE": "is_type",
     "BRAND": "has_brand",
@@ -63,35 +65,40 @@ def final_mention_spans_batch(
     Output is element-wise identical to the per-text function (the scalar
     path delegates to the same batch kernel)."""
     words_per_text: list[list[tuple[int, int]] | None] = []
+    keys_per_text: list[list[tuple[str, bool]] | None] = []
     keys: list[tuple[str, bool]] = []
     for t in texts:
         if not t or not t.strip():
             words_per_text.append(None)
+            keys_per_text.append(None)
             continue
         words = [(s, e) for _, s, e in tokenize_with_offsets(t)]
+        tkeys = [(norm_token_simple(t[s:e]), i > 0) for i, (s, e) in enumerate(words)]
         words_per_text.append(words)
-        keys.extend(
-            (norm_token_simple(t[s:e]), i > 0) for i, (s, e) in enumerate(words)
-        )
+        keys_per_text.append(tkeys)
+        keys.extend(tkeys)
 
-    uniq = list(dict.fromkeys(keys))
-    probs_map: dict[tuple[str, bool], object] = {}
-    for lo in range(0, len(uniq), max_words_per_microbatch):
-        chunk = uniq[lo : lo + max_words_per_microbatch]
+    # worker-global probability cache: batch-compute only COLD keys (one
+    # vectorized call per token-count-capped micro-batch), store python-float
+    # tuples so the cascade indexes plain floats
+    cache = _BATCH_PROB_CACHE
+    cold = list(dict.fromkeys(k for k in keys if k not in cache))
+    for lo in range(0, len(cold), max_words_per_microbatch):
+        chunk = cold[lo : lo + max_words_per_microbatch]
         mat = batch_probabilities(chunk)
+        if len(cache) > (1 << 16):
+            cache.clear()
         for k, row in zip(chunk, mat):
-            probs_map[k] = row
+            cache[k] = tuple(float(x) for x in row)
+    probs_map = cache
 
     lex_list = brand_lexicon_list if brand_lexicon_list is not None else sorted(brand_lexicon)
     out: list[list[Span]] = []
-    for t, words in zip(texts, words_per_text):
+    for t, words, tkeys in zip(texts, words_per_text, keys_per_text):
         if words is None:
             out.append([])
             continue
-        probs = [
-            probs_map[(norm_token_simple(t[s:e]), i > 0)]
-            for i, (s, e) in enumerate(words)
-        ]
+        probs = [probs_map[k] for k in tkeys]
         raw = decide_word_labels(t, words, probs, brand_lexicon, lex_list)
         out.append(postprocess(t, raw) if raw else [])
     return out

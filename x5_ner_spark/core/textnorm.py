@@ -29,8 +29,10 @@ def norm_basic(s: str) -> str:
     return _YO_RE.sub("е", s.lower().strip())
 
 
+@lru_cache(maxsize=1 << 16)
 def norm_token_simple(s: str) -> str:
-    """lower + drop everything outside [0-9a-zа-яё]  (ref: ner/infer.py:51-53)."""
+    """lower + drop everything outside [0-9a-zа-яё]  (ref: ner/infer.py:51-53).
+    Cached — called several times per word across cascade/model/batch keys."""
     return _NOT_ALNUM_RU_LAT.sub("", s.lower())
 
 
