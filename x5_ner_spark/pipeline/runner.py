@@ -57,12 +57,16 @@ def run_pipeline(
     ``out_root`` is given (checkpoint-resume per graph.write_stage)."""
     docs = extract.run(pages)
     lex = brand_lexicon if brand_lexicon is not None else [b for b in BRANDS]
+    # `men` is a lazy plan for callers that want the span table; triple
+    # production itself uses the fused single-Arrow-stage path (pipeline/
+    # fused.py — row-identical, one JVM↔Python hop) and is persisted once so
+    # canonicalization's iterative actions and the caller's writes don't
+    # re-run inference (on a cluster, write_stage's Iceberg tables play this
+    # role; in-memory persist covers the library path)
     men = mentions.run(docs.select("url", "text"), lex, spark)
-    # the Python (Arrow UDF) stage is the expensive one — materialize its
-    # output once so canonicalization's iterative actions and the caller's
-    # writes don't re-run inference (on a cluster, write_stage's Iceberg
-    # tables play this role; in-memory persist covers the library path)
-    trip = triples.run(men).persist()
+    from . import fused
+
+    trip = fused.fused_triples(pages, frozenset(lex)).persist()
 
     adict = alias_dict if alias_dict is not None else default_alias_dict(spark)
     ments = candidates.mention_table(trip)
