@@ -255,9 +255,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup (embedding cosine) on deterministic blocks."""
+    """Dedup (embedding cosine) via banded random-projection LSH blocking."""
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dups(emb, threshold=0.35, block_mod=8)
+    return dedup.embedding_near_dups(emb, threshold=0.35, n_bands=8, band_size=2)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +343,8 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (rows-only: quantizer is engine-internal)."""
+    """IVF-style ANN: seeded-sample quantizer + argmax cell assignment
+    (deterministic — fully mirrored by the DuckDB oracle)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
@@ -415,8 +416,8 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity search (LSH-bucketed approximate top-k) — rows-only check
-    (hyperplane construction is engine-internal)."""
+    """Similarity search (LSH-bucketed approximate top-k); hash-derived
+    hyperplanes are deterministic and mirrored by the DuckDB oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, queries, k=3, n_planes=6)
@@ -477,6 +478,31 @@ _TOKENS = (
     "LATERAL unnest(string_split(lower(text), ' ')) AS t(term) WHERE t.term <> ''"
 )
 _H32 = "CAST(CAST('0x' || substr(md5({x}), 1, 8) AS UBIGINT) AS BIGINT)"
+
+
+def _cos_sql(a: str, b: str, digits: int) -> str:
+    """Explicit double-precision cosine between two FLOAT[] columns —
+    term-for-term the same formula as functions.columns.cosine_similarity_col
+    (float→double per element, sequential sum), so rounded values agree
+    across engines even at 6 decimals."""
+    def dot(x: str, y: str) -> str:
+        return (f"list_sum(list_transform(range(len({x})), "
+                f"i -> CAST({x}[i+1] AS DOUBLE) * CAST({y}[i+1] AS DOUBLE)))")
+    return (f"ROUND({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), {digits})")
+
+
+def _proj_bucket_sql(vec: str, n_planes: int, salt_prefix: str = "#p") -> str:
+    """DuckDB replica of similarity.projection_buckets: sign bits of
+    hash-derived hyperplane projections, projection rounded to 6 decimals."""
+    bits = []
+    for j in range(n_planes):
+        sign = ("CASE WHEN CAST('0x' || substr(md5(CAST(i AS VARCHAR) || "
+                f"'{salt_prefix}{j}'), 1, 8) AS UBIGINT) % 2 = 0 "
+                "THEN 1.0 ELSE -1.0 END")
+        proj = (f"ROUND(list_sum(list_transform(range(len({vec})), "
+                f"i -> CAST({vec}[i+1] AS DOUBLE) * {sign})), 6)")
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -720,12 +746,72 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= 3
     """
 
-    sql["embedding_near_dups"] = """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
-        FROM embeddings a JOIN embeddings b
-          ON a.vec_id < b.vec_id AND a.vec_id % 8 = b.vec_id % 8
-        WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
+    nd_bands = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{_proj_bucket_sql('embedding', 2, salt_prefix=f'#b{b}p')} AS bucket "
+        "FROM embeddings"
+        for b in range(8)
+    )
+    nd_cos = _cos_sql("ea.embedding", "eb.embedding", 4)
+    sql["embedding_near_dups"] = f"""
+        WITH keyed AS ({nd_bands}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM keyed a JOIN keyed b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b, {nd_cos} AS cos
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+        WHERE {nd_cos} >= 0.35
+    """
+
+    lsh_bucket = _proj_bucket_sql("embedding", 6, salt_prefix="#p")
+    lsh_cos = _cos_sql("q.embedding", "c.embedding", 4)
+    sql["lsh_topk"] = f"""
+        WITH b AS (SELECT vec_id, embedding, {lsh_bucket} AS bucket FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {lsh_cos} AS cos
+          FROM b c JOIN b q ON c.bucket = q.bucket
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+
+    ivf_cell_cos = _cos_sql("e.embedding", "c.cv", 6)
+    ivf_cos = _cos_sql("q.qv", "n.nv", 4)
+    ivf_hv = _H32.format(x="CAST(vec_id AS VARCHAR) || '#ivf'")
+    sql["ivf_topk"] = f"""
+        WITH cents AS (
+          SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+          ORDER BY {ivf_hv}, vec_id LIMIT 8),
+        c_scored AS (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS nv, c.cell_id,
+                 {ivf_cell_cos} AS cell_cos
+          FROM embeddings e CROSS JOIN cents c),
+        c_assign AS (
+          SELECT neighbor_id, nv, cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                                         ORDER BY cell_cos DESC, cell_id ASC) AS rn
+            FROM c_scored) WHERE rn = 1),
+        q_probe AS (
+          SELECT query_id, qv, cell_id FROM (
+            SELECT neighbor_id AS query_id, nv AS qv, cell_id, cell_cos,
+                   row_number() OVER (PARTITION BY neighbor_id
+                                      ORDER BY cell_cos DESC, cell_id ASC) AS rn
+            FROM c_scored WHERE neighbor_id < 5) WHERE rn <= 2),
+        scored AS (
+          SELECT q.query_id, n.neighbor_id, {ivf_cos} AS cos
+          FROM c_assign n JOIN q_probe q ON n.cell_id = q.cell_id
+          WHERE n.neighbor_id <> q.query_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
     """
 
     en = ", ".join(f"'{w}'" for w in text_stats.EN_STOPWORDS)

@@ -48,3 +48,20 @@ def test_batch_mention_fn_identical_to_scalar(spark):
     batch = final_mention_spans_batch(texts, lex, lexl, max_words_per_microbatch=7)
     for t, got in zip(texts, batch):
         assert got == final_mention_spans(t, lex, lexl), repr(t)
+
+
+def test_batch_prob_cache_eviction_keeps_warm_keys(monkeypatch):
+    """Regression: a batch mixing warm and cold keys past the cache cap must
+    not KeyError — eviction runs once up-front, never between micro-batches."""
+    from x5_ner_spark.core import mention_pipeline as mp
+
+    monkeypatch.setattr(mp, "_BATCH_PROB_CACHE", {})
+    monkeypatch.setattr(mp, "_BATCH_PROB_CACHE_MAX", 4)
+    warm = "молоко простоквашино 3,2%"
+    mp.final_mention_spans_batch([warm])  # seed warm entries
+    # overflow the cap with many distinct cold tokens while re-using warm ones
+    cold_text = " ".join(f"tok{i}x" for i in range(40))
+    out = mp.final_mention_spans_batch(
+        [warm + " " + cold_text], max_words_per_microbatch=3
+    )
+    assert out[0] == mp.final_mention_spans(warm + " " + cold_text)

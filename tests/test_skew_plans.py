@@ -101,3 +101,55 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     recall = len(bf & ivf) / len(bf)
     assert len(ivf) == len(bf) == 15
     assert recall >= 0.2, recall
+
+
+def test_ivf_assignment_is_map_only(spark, sf_dir):
+    """The corpus→cell assignment must be a pure projection (inlined
+    centroid argmax): no Exchange, no join, no window before the probe join."""
+    from x5_ner_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_cells=8)
+    assigned = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        (-F.array_max(similarity._cell_scores(F.col("embedding"), cents))["neg_cell"]).alias("cell_id"),
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    # every corpus row lands in exactly one valid cell
+    n = assigned.filter(F.col("cell_id").isin([c for c, _ in cents])).count()
+    assert n == emb.count()
+
+
+def test_embedding_near_dups_recall(spark):
+    """Banded random-projection blocking must recover ≥0.9 of the true
+    brute-force near-dup pairs at cosine ≥ 0.95 (planted duplicates)."""
+    import numpy as np
+
+    from x5_ner_spark.operators import dedup
+    from x5_ner_spark.functions.columns import cosine_similarity_col
+
+    rng = np.random.RandomState(42)
+    base = rng.randn(60, 64).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # plant 20 near-duplicates: tiny perturbations of the first 20 vectors
+    for j in range(20):
+        noisy = base[j] + 0.02 * rng.randn(64).astype("float32")
+        rows.append((100 + j, noisy.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    bf = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity_col(F.col("ea"), F.col("eb")) >= 0.95)
+        .collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dups(emb, threshold=0.95).collect()
+    }
+    assert len(bf) >= 20
+    assert lsh <= bf  # rescore is exact: no false positives
+    assert len(lsh & bf) / len(bf) >= 0.9, (len(lsh & bf), len(bf))

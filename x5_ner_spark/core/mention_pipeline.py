@@ -18,6 +18,7 @@ from .stub_model import batch_probabilities, word_probabilities
 from .textnorm import norm_basic, norm_token_simple
 
 _BATCH_PROB_CACHE: dict[tuple[str, bool], tuple[float, ...]] = {}
+_BATCH_PROB_CACHE_MAX = 1 << 16
 
 PRED_BY_TYPE = {
     "TYPE": "is_type",
@@ -80,14 +81,18 @@ def final_mention_spans_batch(
 
     # worker-global probability cache: batch-compute only COLD keys (one
     # vectorized call per token-count-capped micro-batch), store python-float
-    # tuples so the cascade indexes plain floats
+    # tuples so the cascade indexes plain floats. Eviction runs ONCE, BEFORE
+    # cold keys are computed — a mid-call clear would drop warm entries this
+    # call still needs (KeyError on probs_map[k] below). All of this call's
+    # keys are therefore either warm survivors or inserted by this call; the
+    # cache may overshoot the cap within one call and is trimmed on the next.
     cache = _BATCH_PROB_CACHE
+    if len(cache) > _BATCH_PROB_CACHE_MAX:
+        cache.clear()
     cold = list(dict.fromkeys(k for k in keys if k not in cache))
     for lo in range(0, len(cold), max_words_per_microbatch):
         chunk = cold[lo : lo + max_words_per_microbatch]
         mat = batch_probabilities(chunk)
-        if len(cache) > (1 << 16):
-            cache.clear()
         for k, row in zip(chunk, mat):
             cache[k] = tuple(float(x) for x in row)
     probs_map = cache

@@ -99,34 +99,38 @@ def error_buckets(
     entity — exact TP, type swap (same boundaries, different type), boundary
     shift (same type, overlapping, different boundaries), plain FP / FN.
     Inputs: (id_col, start, end, etype) entity tables."""
-    g = gold_ents.select(id_col, F.col("start").alias("gs"), F.col("end").alias("ge"),
-                         F.col("etype").alias("gt"))
-    p = pred_ents.select(id_col, F.col("start").alias("ps"), F.col("end").alias("pe"),
-                         F.col("etype").alias("pt"))
+    # gold/pred often share lineage (same extraction plan) — rename the join
+    # key on each side so every equi-join below is an unambiguous column
+    # reference, not a dataset-id-disambiguated self-join predicate
+    g = gold_ents.select(F.col(id_col).alias("gid"), F.col("start").alias("gs"),
+                         F.col("end").alias("ge"), F.col("etype").alias("gt"))
+    p = pred_ents.select(F.col(id_col).alias("pid"), F.col("start").alias("ps"),
+                         F.col("end").alias("pe"), F.col("etype").alias("pt"))
+    same_doc = F.col("gid") == F.col("pid")
 
-    exact = (g.join(p, (g[id_col] == p[id_col]) & (F.col("gs") == F.col("ps"))
+    exact = (g.join(p, same_doc & (F.col("gs") == F.col("ps"))
                     & (F.col("ge") == F.col("pe")) & (F.col("gt") == F.col("pt")))
-             .select(g[id_col].alias("doc"), F.lit("exact_match").alias("bucket"),
+             .select(F.col("gid").alias("doc"), F.lit("exact_match").alias("bucket"),
                      F.col("gt").alias("etype")))
-    swap = (g.join(p, (g[id_col] == p[id_col]) & (F.col("gs") == F.col("ps"))
+    swap = (g.join(p, same_doc & (F.col("gs") == F.col("ps"))
                    & (F.col("ge") == F.col("pe")) & (F.col("gt") != F.col("pt")))
-            .select(g[id_col].alias("doc"), F.lit("type_swap").alias("bucket"),
+            .select(F.col("gid").alias("doc"), F.lit("type_swap").alias("bucket"),
                     F.col("gt").alias("etype")))
-    shift = (g.join(p, (g[id_col] == p[id_col]) & (F.col("gt") == F.col("pt"))
+    shift = (g.join(p, same_doc & (F.col("gt") == F.col("pt"))
                     & (F.col("gs") < F.col("pe")) & (F.col("ge") > F.col("ps"))
                     & ((F.col("gs") != F.col("ps")) | (F.col("ge") != F.col("pe"))))
-             .select(g[id_col].alias("doc"), F.lit("boundary_shift").alias("bucket"),
+             .select(F.col("gid").alias("doc"), F.lit("boundary_shift").alias("bucket"),
                      F.col("gt").alias("etype")))
     # FN: gold with no overlapping same-doc pred at all; FP symmetric
-    any_overlap = (g.join(p, (g[id_col] == p[id_col]) & (F.col("gs") < F.col("pe"))
+    any_overlap = (g.join(p, same_doc & (F.col("gs") < F.col("pe"))
                           & (F.col("ge") > F.col("ps")), "left_semi"))
     fn = (g.exceptAll(any_overlap)
-          .select(F.col(id_col).alias("doc"), F.lit("false_negative").alias("bucket"),
+          .select(F.col("gid").alias("doc"), F.lit("false_negative").alias("bucket"),
                   F.col("gt").alias("etype")))
-    any_overlap_p = (p.join(g, (g[id_col] == p[id_col]) & (F.col("gs") < F.col("pe"))
+    any_overlap_p = (p.join(g, same_doc & (F.col("gs") < F.col("pe"))
                             & (F.col("ge") > F.col("ps")), "left_semi"))
     fp = (p.exceptAll(any_overlap_p)
-          .select(F.col(id_col).alias("doc"), F.lit("false_positive").alias("bucket"),
+          .select(F.col("pid").alias("doc"), F.lit("false_positive").alias("bucket"),
                   F.col("pt").alias("etype")))
     return (exact.unionByName(swap).unionByName(shift).unionByName(fn).unionByName(fp)
             .groupBy("bucket", "etype").agg(F.count(F.lit(1)).alias("n")))

@@ -9,7 +9,7 @@ bits so each corpus row joins only its bucket.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.columns import cosine_similarity_col, portable_hash32
@@ -38,17 +38,23 @@ def brute_force_topk(
     )
 
 
-def projection_buckets(emb: DataFrame, n_planes: int = 8, vec_col: str = "embedding") -> DataFrame:
+def projection_buckets(
+    emb: DataFrame, n_planes: int = 8, vec_col: str = "embedding",
+    salt_prefix: str = "#p", out_col: str = "bucket",
+) -> DataFrame:
     """LSH bucket id from sign bits of pseudo-random hyperplane projections.
     Hyperplane components are hash-derived (deterministic, no stored model):
-    plane_j[i] = ±1 by bit of portable_hash32(j||i)."""
+    plane_j[i] = ±1 by bit of portable_hash32(i || salt_prefix || j). The
+    projection is rounded to 6 decimals before the sign test so any engine
+    replaying the same formula (the DuckDB oracle) lands in the same bucket
+    regardless of float summation order."""
     dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
     bits = []
 
     def plane_signs(j: int):
         # closure-bind j: a 2-param HOF lambda would receive the array index
         # as its second argument and corrupt the salt
-        salt = f"#p{j}"
+        salt = f"{salt_prefix}{j}"
         return F.transform(
             dim_idx,
             lambda i: F.when(
@@ -62,11 +68,11 @@ def projection_buckets(emb: DataFrame, n_planes: int = 8, vec_col: str = "embedd
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        bits.append(F.when(F.round(proj, 6) >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    return emb.withColumn("bucket", bucket.cast("int"))
+    return emb.withColumn(out_col, bucket.cast("int"))
 
 
 def lsh_topk(
@@ -108,42 +114,81 @@ def label_centroids(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embe
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame, n_cells: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeded-sample coarse quantizer: the ``n_cells`` corpus
+    vectors with the smallest portable_hash32(id || '#ivf') — a uniform
+    pseudo-random sample any engine reproduces (ORDER BY hash LIMIT n).
+    Collected to the driver: the quantizer is tiny by construction and lives
+    driver-side like a broadcast lexicon (FAISS keeps it in RAM too)."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cv"),
+            portable_hash32(F.col(id_col), salt="#ivf").alias("hv"),
+        )
+        .orderBy("hv", "cell_id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [(int(r["cell_id"]), [float(x) for x in r["cv"]]) for r in rows]
+
+
+def _cell_scores(vcol: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Literal array of (cell_cos, neg_cell) structs — the whole quantizer is
+    inlined into the row expression, so cell scoring is a pure projection:
+    no join, no Exchange, stays in whole-stage codegen. cell_cos is rounded
+    to 6 decimals so the oracle's argmax agrees; neg_cell makes struct-max /
+    descending-sort tie-break toward the SMALLEST cell id."""
+    return F.array(*[
+        F.struct(
+            F.round(
+                cosine_similarity_col(vcol, F.array(*[F.lit(x) for x in cv])), 6
+            ).alias("cell_cos"),
+            F.lit(-cid).alias("neg_cell"),
+        )
+        for cid, cv in cents
+    ])
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 3, n_cells: int = 8,
     n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style approximate top-k: a deterministic coarse quantizer (the
-    first ``n_cells`` corpus vectors as centroids, broadcast), corpus rows
-    assigned to their nearest cell, queries probe their ``n_probe`` nearest
-    cells, exact cosine rescoring inside the probed cells.
+    """IVF-style approximate top-k: seeded-sample quantizer
+    (:func:`ivf_centroids`), corpus rows assigned to their nearest cell by an
+    array-argmax over inlined centroids (zero Exchange on the corpus side —
+    plan-asserted in tests/test_skew_plans.py), queries probe their
+    ``n_probe`` nearest cells, exact cosine rescoring inside probed cells.
 
-    At 100 TB the cell assignment is one broadcast pass and the search joins
-    only |query|·n_probe cells instead of the full corpus."""
-    cents = corpus.orderBy(id_col).limit(n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
+    At 100 TB: assignment is a map-only pass over the corpus; the search
+    shuffles only on cell_id with |query|·n_probe probe rows broadcast."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        (-F.array_max(_cell_scores(F.col(vec_col), cents))["neg_cell"]).alias("cell_id"),
     )
-
-    def nearest_cells(df, vcol, keep, n):
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "cell_cos", cosine_similarity_col(F.col(vcol), F.col("cv"))
+    # probe list: ascending struct sort is (cos asc, cell_id desc); reversed
+    # → (cos desc, cell_id asc); slice the first n_probe
+    q_assigned = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))),
+                    1, n_probe,
+                )
+            ).alias("probe"),
         )
-        w = Window.partitionBy(*keep).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
-        return (
-            scored.withColumn("cr", F.row_number().over(w))
-            .filter(F.col("cr") <= n)
-            .drop("cv", "cell_cos", "cr")
-        )
-
-    c_assigned = nearest_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
-        "nv", ["neighbor_id"], 1,
-    )
-    q_assigned = nearest_cells(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        "qv", ["query_id"], n_probe,
+        .select("query_id", "qv", (-F.col("probe")["neg_cell"]).alias("cell_id"))
     )
     scored = (
-        c_assigned.join(q_assigned, "cell_id")
+        c_assigned.join(F.broadcast(q_assigned), "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round(cosine_similarity_col(F.col("qv"), F.col("nv")), 4))
     )

@@ -109,6 +109,11 @@ def run_pipeline(
         graph.write_stage(trip, out_root, "triples", key="url", n_buckets=n_buckets, run_id=run_id)
         graph.write_stage(ent_nodes, out_root, "nodes", key="entity_id", n_buckets=n_buckets, run_id=run_id)
         graph.write_stage(kg_edges, out_root, "edges", key="subj", n_buckets=n_buckets, run_id=run_id)
+        # all downstream actions are done — release the cached blocks so
+        # repeated invocations in one session don't accumulate storage
+        trip.unpersist()
+    # library path (no out_root): callers own trip.unpersist() once finished
+    # with the returned DataFrames
     return out
 
 

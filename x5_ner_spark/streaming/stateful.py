@@ -20,15 +20,29 @@ STATE_SCHEMA = "n_pages long, n_mentions long"
 OUTPUT_SCHEMA = "domain string, n_pages long, n_mentions long"
 
 
+# idle domains are evicted after this long without new pages — bounds state
+# size on an unbounded crawl stream (long-tail domains dominate key count)
+IDLE_TIMEOUT_MS = 3_600_000
+
+
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (domain,) = key
+    if state.hasTimedOut:
+        # idle eviction: emit the final tally, then drop the state entry
+        n_pages, n_mentions = state.get if state.exists else (0, 0)
+        state.remove()
+        yield pd.DataFrame(
+            {"domain": [domain], "n_pages": [n_pages], "n_mentions": [n_mentions]}
+        )
+        return
     n_pages, n_mentions = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n_pages += len(pdf)
         n_mentions += int(pdf["n_spans"].sum())
     state.update((n_pages, n_mentions))
+    state.setTimeoutDuration(IDLE_TIMEOUT_MS)
     yield pd.DataFrame(
         {"domain": [domain], "n_pages": [n_pages], "n_mentions": [n_mentions]}
     )
@@ -36,7 +50,8 @@ def _update(
 
 def domain_mention_state(mentions_stream: DataFrame) -> DataFrame:
     """mentions stream (url, spans) → cumulative (domain, n_pages,
-    n_mentions) updates per micro-batch."""
+    n_mentions) updates per micro-batch; domains idle for IDLE_TIMEOUT_MS
+    are flushed and evicted (processing-time timeout)."""
     keyed = mentions_stream.select(
         F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("domain"),
         F.size("spans").alias("n_spans"),
@@ -46,5 +61,5 @@ def domain_mention_state(mentions_stream: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
