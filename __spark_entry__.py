@@ -19,7 +19,15 @@ from x5_ner_spark.functions.columns import (
     portable_hash32,
     simple_tokens_col,
 )
-from x5_ner_spark.operators import dedup, eval_ops, graph_ops, similarity, text_stats, windows
+from x5_ner_spark.operators import (
+    decision_log as decision_log_op,
+    dedup,
+    eval_ops,
+    graph_ops,
+    similarity,
+    text_stats,
+    windows,
+)
 
 # ---------------------------------------------------------------- helpers
 
@@ -403,6 +411,17 @@ def q_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 proper: per-word decision log (token, BIO label, cascade reason,
+    probabilities, feature flags) over a deterministic document subset, with
+    an empty brand lexicon. The DuckDB oracle replays the ENTIRE pipeline in
+    SQL: WORD_RE tokenization with char offsets, the md5→LCG→softmax stub
+    model, the decision ladder/guards, the pinned short-word break, and the
+    BIO continuity rewrite."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decision_log_op.decision_log(docs)
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured decode: parse events.props JSON, aggregate per type
     (get_json_object → JVM-side JSON path, no UDF)."""
@@ -465,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "ivf_topk": q_ivf_topk,
         "json_props": q_json_props,
+        "decision_log": q_decision_log,
         "sort_limit": q_sort_limit,
         "group_sizes": q_group_sizes,
         "summary_stats": q_summary_stats,
@@ -489,6 +509,155 @@ def _cos_sql(a: str, b: str, digits: int) -> str:
         return (f"list_sum(list_transform(range(len({x})), "
                 f"i -> CAST({x}[i+1] AS DOUBLE) * CAST({y}[i+1] AS DOUBLE)))")
     return (f"ROUND({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), {digits})")
+
+
+def _decision_log_sql(n_docs: int = 200) -> str:
+    """DuckDB replica of the FULL decision-log pipeline (empty lexicon):
+    WORD_RE tokenization with char offsets (runs of [\\p{L}\\p{N}-] trimmed to
+    the first letter), the stub model (md5 → 64-bit LCG → scaled noise +
+    heuristic biases → softmax), the cascade ladder/guards with the pinned
+    short-word break, BIO continuity via lag. Float-sensitive constants
+    (t*1.3) are precomputed in Python and inlined as double literals so both
+    engines compare against bit-identical thresholds."""
+    from x5_ner_spark.core.cascade import STOPWORDS, TYPE_HINTS
+
+    hints = ", ".join(f"'{w}'" for w in sorted(TYPE_HINTS))
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    A, C = 6364136223846793005, 1442695040888963407
+    a_hi, a_lo, c_hi, c_lo, b32 = A >> 32, A & 0xFFFFFFFF, C >> 32, C & 0xFFFFFFFF, 1 << 32
+
+    # chained LCG CTEs in (hi, lo) 32-bit halves — UBIGINT-only arithmetic
+    # (HUGEINT %/// are ~100x slower in DuckDB), every intermediate < 2^64:
+    # s*A + C mod 2^64 = [(hi*A_lo + lo*A_hi + carries + C_hi) mod 2^32]*2^32
+    #                    + (lo*A_lo + C_lo) mod 2^32.
+    # u_i consumes state i+1 (Python steps then emits); the double conversion
+    # hi*2^32 + lo rounds once, identical to Python's state / 2**64.
+    lcg_ctes = ""
+    for k in range(9):
+        lo_next = f"((l{k} * {a_lo} % {b32}) + {c_lo}) % {b32}"
+        hi_next = (f"(h{k} * {a_lo} % {b32} + l{k} * {a_hi} % {b32}"
+                   f" + l{k} * {a_lo} // {b32}"
+                   f" + ((l{k} * {a_lo} % {b32}) + {c_lo}) // {b32} + {c_hi}) % {b32}")
+        lcg_ctes += (
+            f", st{k+1} AS MATERIALIZED (SELECT *, {lo_next} AS l{k+1},"
+            f" {hi_next} AS h{k+1} FROM st{k})"
+        )
+
+    us = ", ".join(
+        f"(CAST(h{i+1} AS DOUBLE) * 4294967296 + CAST(l{i+1} AS DOUBLE))"
+        f" / 18446744073709551616.0 AS u{i}"
+        for i in range(9)
+    )
+    # BIO order: 0=O 1=B-TYPE 2=I-TYPE 3=B-BRAND 4=I-BRAND 5..8 VOLUME/PERCENT
+    # lg* not l*: the LCG lo-halves already occupy l0..l9 and SELECT *
+    # carries them forward — a bare l0 alias would silently collide
+    logits = ", ".join([
+        "u0 * 0.5 + 1.0 + (CASE WHEN bias_o THEN 3.0 ELSE 0.0 END) AS lg0",
+        "u1 * 0.5 + (CASE WHEN bias_type AND NOT cont THEN 4.0 ELSE 0.0 END) AS lg1",
+        "u2 * 0.5 + (CASE WHEN bias_type AND cont THEN 4.0 ELSE 0.0 END) AS lg2",
+        "u3 * 0.5 + (CASE WHEN bias_brand THEN 3.5 ELSE 0.0 END) AS lg3",
+    ] + [f"u{i} * 0.5 AS lg{i}" for i in range(4, 9)])
+    lmax = "GREATEST(" + ", ".join(f"lg{i}" for i in range(9)) + ")"
+    es = ", ".join(f"exp(lg{i} - {lmax}) AS e{i}" for i in range(9))
+    z = " + ".join(f"e{i}" for i in range(9))
+    ps = ", ".join(f"e{i} / ({z}) AS p{i}" for i in range(9))
+
+    ladder = []
+    for t in (0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6, 0.55):
+        ts = repr(t * 1.3)  # Python double product, inlined bit-exactly
+        ladder.append(f"WHEN p_brand_sum >= {ts} OR p_brand > {t} THEN 'strong_brand_{t}'")
+        ladder.append(f"WHEN p_type_sum >= {ts} OR p_type > {t} THEN 'strong_type_{t}'")
+        ladder.append(f"WHEN p_o >= {t} THEN 'strong_o_{t}'")
+    ladder_sql = "\n            ".join(ladder)
+
+    return f"""
+        WITH d AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id < {n_docs}),
+        pieces AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(text, '[^\\p{{L}}\\p{{N}}-]')) AS piece,
+                 unnest(range(len(regexp_split_to_array(text, '[^\\p{{L}}\\p{{N}}-]')))) AS idx
+          FROM d),
+        toks0 AS MATERIALIZED (
+          SELECT doc_id, piece, idx,
+                 COALESCE(SUM(length(piece)) OVER (PARTITION BY doc_id ORDER BY idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + idx AS piece_start,
+                 length(regexp_extract(piece, '^[\\p{{N}}-]*')) AS lead_len
+          FROM pieces),
+        toks AS MATERIALIZED (
+          SELECT doc_id,
+                 substr(piece, CAST(lead_len + 1 AS INT)) AS tok,
+                 CAST(piece_start + lead_len AS INT) AS start,
+                 CAST(piece_start + length(piece) AS INT) AS "end",
+                 row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS wid
+          FROM toks0 WHERE substr(piece, CAST(lead_len + 1 AS INT)) <> ''),
+        nt AS MATERIALIZED (
+          SELECT *, regexp_replace(lower(tok), '[^0-9a-zа-яё]+', '', 'g') AS norm,
+                 wid > 0 AS cont
+          FROM toks),
+        st0 AS MATERIALIZED (
+          SELECT *, CAST('0x' || substr(md5(norm), 1, 8) AS UBIGINT) AS h0,
+                 CAST('0x' || substr(md5(norm), 9, 8) AS UBIGINT) AS l0,
+                 (norm = '' OR regexp_full_match(norm, '[0-9]+')
+                  OR norm IN ({stops})) AS bias_o,
+                 norm IN ({hints}) AND NOT (norm = '' OR regexp_full_match(norm, '[0-9]+')
+                  OR norm IN ({stops})) AS bias_type,
+                 regexp_full_match(norm, '[A-Za-z]+') AND length(norm) >= 3
+                  AND NOT norm IN ({hints})
+                  AND NOT (norm = '' OR regexp_full_match(norm, '[0-9]+')
+                           OR norm IN ({stops})) AS bias_brand
+          FROM nt){lcg_ctes},
+        uu AS MATERIALIZED (SELECT *, {us} FROM st9),
+        lg AS MATERIALIZED (SELECT *, {logits} FROM uu),
+        ee AS MATERIALIZED (SELECT *, {es} FROM lg),
+        pp AS MATERIALIZED (SELECT *, {ps} FROM ee),
+        feats AS MATERIALIZED (
+          SELECT doc_id, tok, start, "end", wid, norm,
+                 GREATEST(p3, p4) AS p_brand, p3 + p4 AS p_brand_sum,
+                 GREATEST(p1, p2) AS p_type, p1 + p2 AS p_type_sum,
+                 p0 AS p_o,
+                 regexp_full_match(norm, '[A-Za-z]+') AS pure_lat,
+                 regexp_full_match(norm, '[A-Za-z]+') AND length(norm) <= 2 AS short_lat,
+                 regexp_matches(norm, '[AEIOUYaeiouy]') AS has_vowel,
+                 norm IN ({hints}) AND NOT norm IN ({stops})
+                   AND NOT regexp_full_match(norm, '[0-9]+') AS looks_type
+          FROM pp),
+        brk AS MATERIALIZED (
+          SELECT f.* FROM feats f
+          LEFT JOIN (SELECT doc_id, MIN(wid) AS brk_wid FROM feats
+                     WHERE length(norm) <= 2 AND p_type < 0.4 AND p_brand < 0.4
+                     GROUP BY doc_id) b USING (doc_id)
+          WHERE b.brk_wid IS NULL OR f.wid < b.brk_wid),
+        decided AS MATERIALIZED (
+          SELECT *, CASE
+            {ladder_sql}
+            WHEN short_lat THEN 'short_lat_no_lex'
+            WHEN looks_type AND p_type >= GREATEST(CAST(0.55 AS DOUBLE), p_brand + CAST(0.07 AS DOUBLE)) THEN 'clear_type'
+            WHEN looks_type THEN 'looks_type_guard'
+            WHEN p_type >= GREATEST(CAST(0.55 AS DOUBLE), p_brand + CAST(0.07 AS DOUBLE)) THEN 'clear_type'
+            WHEN p_brand >= GREATEST(CAST(0.8 AS DOUBLE), p_type + CAST(0.1 AS DOUBLE)) THEN 'clear_brand'
+            ELSE 'fallback' END AS reason
+          FROM brk),
+        based AS MATERIALIZED (
+          SELECT *, CASE
+            WHEN reason LIKE 'strong_brand%' OR reason = 'clear_brand' THEN 'BRAND'
+            WHEN reason LIKE 'strong_type%' OR reason = 'clear_type' THEN 'TYPE'
+            WHEN reason IN ('looks_type_guard', 'fallback')
+              THEN (CASE WHEN p_type >= CAST(0.15 AS DOUBLE) THEN 'TYPE' ELSE 'O' END)
+            ELSE 'O' END AS base
+          FROM decided),
+        labeled AS MATERIALIZED (
+          SELECT *, CASE WHEN base = 'O' THEN 'O'
+                         WHEN lag(base, 1, 'O') OVER (PARTITION BY doc_id ORDER BY wid) = base
+                           THEN 'I-' || base
+                         ELSE 'B-' || base END AS label
+          FROM based)
+        SELECT doc_id, tok AS token_text, start, "end", label, reason,
+               ROUND(p_brand, 3) AS p_brand, ROUND(p_type, 3) AS p_type,
+               FALSE AS in_lex, FALSE AS fuzzy_hit, pure_lat, short_lat, has_vowel,
+               ROUND(p_brand_sum, 3) AS p_brand_sum,
+               ROUND(p_type_sum, 3) AS p_type_sum, ROUND(p_o, 3) AS p_o
+        FROM labeled
+    """
 
 
 def _proj_bucket_sql(vec: str, n_planes: int, salt_prefix: str = "#p") -> str:
@@ -780,6 +949,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 3
     """
+
+    sql["decision_log"] = _decision_log_sql(200)
 
     ivf_cell_cos = _cos_sql("e.embedding", "c.cv", 6)
     ivf_cos = _cos_sql("q.qv", "n.nv", 4)

@@ -22,7 +22,7 @@ def load_reference_module(name: str):
     baked-in dependency; our indel-exact fuzz.ratio stands in). Used only by
     differential tests, which skip when /root/reference is absent."""
     if "rapidfuzz" not in sys.modules:
-        from x5_ner_spark.core.textnorm import fuzz_ratio
+        from x5_ner_spark.core.textnorm import fuzz_ratio, fuzz_wratio
 
         rf = types.ModuleType("rapidfuzz")
 
@@ -31,12 +31,31 @@ def load_reference_module(name: str):
             def ratio(a, b):
                 return fuzz_ratio(a, b)
 
+            @staticmethod
+            def WRatio(a, b):
+                return fuzz_wratio(a, b)
+
+        class _Process:
+            # the one call shape the reference makes (infer.py:285-291);
+            # backed by our WRatio reimpl so differentials exercise the
+            # rapidfuzz-enabled cascade path end to end
+            @staticmethod
+            def extractOne(query, choices, *, scorer, score_cutoff=0.0):
+                best, best_score = None, None
+                for c in choices:
+                    sc = scorer(query, c)
+                    if sc >= score_cutoff and (best_score is None or sc > best_score):
+                        best, best_score = c, sc
+                return (best, best_score, 0) if best is not None else None
+
         rf.fuzz = _Fuzz
-        rf.process = None
+        rf.process = _Process
         sys.modules["rapidfuzz"] = rf
     if "torch" not in sys.modules:
         # ner/utils.py imports torch only for set_seed; a skeleton suffices
         import importlib.machinery
+
+        import contextlib
 
         torch = types.ModuleType("torch")
         torch.__spec__ = importlib.machinery.ModuleSpec("torch", loader=None)
@@ -44,7 +63,19 @@ def load_reference_module(name: str):
         torch.cuda = types.SimpleNamespace(
             is_available=lambda: False, manual_seed_all=lambda *a, **k: None
         )
+        # minimal inference surface for driving NERPipeline.predict_bio_tokens
+        # with injected probabilities: the fake model emits probabilities AS
+        # logits, so softmax is the identity here
+        torch.no_grad = contextlib.nullcontext
+        torch.softmax = lambda x, dim=-1: x
         sys.modules["torch"] = torch
+    stub_transformers()
+    if "ner.train" not in sys.modules:
+        # ner/train.py drags in datasets/seqeval/yaml; infer.py only needs
+        # the CRF class name from it (and only to call .from_pretrained)
+        tn = types.ModuleType("ner.train")
+        tn.XLMRCRFForTokenClassification = types.SimpleNamespace(from_pretrained=None)
+        sys.modules["ner.train"] = tn
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
     import importlib
@@ -77,12 +108,20 @@ def sf_dir() -> str:
 
 
 def stub_transformers() -> None:
-    """ner/dataset.py imports transformers only for type hints / encode paths
-    we don't exercise; a named stub lets differential tests import it."""
+    """The reference imports transformers names at module level (dataset.py
+    type hints, infer.py loader classes) but differential tests never call
+    the loaders — pipelines are built via __new__ with fakes. One shared stub
+    carries every name any reference module pulls in."""
     import importlib.machinery
 
     if "transformers" not in sys.modules:
         tr = types.ModuleType("transformers")
         tr.__spec__ = importlib.machinery.ModuleSpec("transformers", loader=None)
-        tr.AutoTokenizer = object
+        tr.AutoTokenizer = types.SimpleNamespace(from_pretrained=None)
+        tr.AutoModelForTokenClassification = types.SimpleNamespace(from_pretrained=None)
         sys.modules["transformers"] = tr
+    else:
+        tr = sys.modules["transformers"]
+        for name in ("AutoTokenizer", "AutoModelForTokenClassification"):
+            if not hasattr(tr, name):
+                setattr(tr, name, types.SimpleNamespace(from_pretrained=None))

@@ -1,0 +1,179 @@
+"""Decision-log differential: drive the REFERENCE's full per-word decision
+loop (ner/infer.py predict_bio_tokens, incl. its log_details emission) with
+injected word probabilities and compare labels + 16-field log rows
+byte-for-byte against our cascade's log (core/cascade.py decide_word_labels
+with log=..., core/mention_pipeline.serialize_log_row).
+
+The fake tokenizer/model inject OUR WORD_RE tokens and OUR stub-model
+probabilities into the reference (tokenization and the model are separately
+pinned specs); what this differential pins is the decision cascade, the
+reason codes, and the log format. Skips without /root/reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import has_reference, load_reference_module
+from tests.test_fuzz_differential import gen_texts
+from x5_ner_spark.core.mention_pipeline import (
+    decision_log_rows,
+    detect_mention_spans,
+    serialize_log_row,
+)
+from x5_ner_spark.core.numeric import tokenize_with_offsets
+from x5_ner_spark.core.stub_model import word_probabilities
+
+LEX = ["простоквашино", "santa", "барни", "greenfield", "малако"]
+
+
+class _FT:
+    """Fake tensor: just enough of the torch surface predict_bio_tokens
+    touches ([0], .tolist(), .cpu(), .numpy(), .bool())."""
+
+    def __init__(self, arr):
+        self.a = np.asarray(arr)
+
+    def __getitem__(self, i):
+        return _FT(self.a[i])
+
+    def tolist(self):
+        return self.a.tolist()
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self.a
+
+    def bool(self):
+        return self
+
+
+class _Enc(dict):
+    def __init__(self, word_ids, offsets):
+        super().__init__(
+            input_ids=_FT(np.zeros((1, len(word_ids)), dtype=int)),
+            attention_mask=_FT(np.ones((1, len(word_ids)), dtype=int)),
+            offset_mapping=_FT(np.array([offsets], dtype=int)
+                               if offsets else np.zeros((1, 0, 2), dtype=int)),
+        )
+        self._wids = word_ids
+
+    def word_ids(self, i=0):
+        return self._wids
+
+
+class _FakeTokenizer:
+    """One subtoken per WORD_RE word, so the reference's subtoken-mean
+    equals the injected per-word probability row exactly."""
+
+    def __call__(self, text, **kw):
+        toks = tokenize_with_offsets(text)
+        return _Enc(list(range(len(toks))), [(s, e) for _, s, e in toks])
+
+
+class _Out:
+    def __init__(self, logits):
+        self.logits = _FT(logits)
+
+
+class _FakeModel:
+    """Emits our stub model's per-word probabilities AS logits; the conftest
+    torch.softmax is the identity, so the reference consumes them verbatim."""
+
+    def __init__(self):
+        self.text = None
+
+    def __call__(self, input_ids, attention_mask=None):
+        toks = tokenize_with_offsets(self.text)
+        probs = [word_probabilities(t, i) for i, (t, _, _) in enumerate(toks)]
+        return _Out(np.array([probs]) if probs else np.zeros((1, 0, 9)))
+
+
+@pytest.fixture(scope="module")
+def ref_pipe():
+    if not has_reference():
+        pytest.skip("reference repo not present")
+    inf = load_reference_module("ner.infer")
+    inf.BRAND_LEXICON = set(inf._lex_norm(x) for x in LEX)
+    inf.BRAND_LEXICON_LIST = list(inf.BRAND_LEXICON)
+    pipe = inf.NERPipeline.__new__(inf.NERPipeline)
+    pipe.tokenizer = _FakeTokenizer()
+    pipe.model = _FakeModel()
+    return pipe
+
+
+def test_decision_loop_and_log_differential(ref_pipe):
+    lex_fs = frozenset(LEX)
+    lex_list = sorted(lex_fs)
+    n_rows = 0
+    for text in gen_texts(500, seed=31337):
+        ref_pipe.model.text = text
+        ref_spans, _, ref_details = ref_pipe.predict_entities(text)
+
+        ours = detect_mention_spans(text, lex_fs, lex_list)
+        assert ours == [tuple(x) for x in ref_spans], repr(text)
+
+        recs = decision_log_rows(text, lex_fs, lex_list)
+        got = [serialize_log_row(text, r, error=None) for r in recs]
+        assert got == ref_details, repr(text)
+        n_rows += len(got)
+    assert n_rows > 500  # the sweep actually exercised the log
+
+
+def test_log_reason_branches_crafted():
+    """Each cascade branch's reason code, pinned with crafted inputs."""
+    from x5_ner_spark.core.cascade import decide_word_labels
+
+    def reasons(text, probs, lex=frozenset()):
+        words = [(s, e) for _, s, e in tokenize_with_offsets(text)]
+        log: list[dict] = []
+        decide_word_labels(text, words, probs, lex, sorted(lex), log=log)
+        return [(r["reason"], r["label"]) for r in log]
+
+    def vec(**kw):
+        p = [0.0] * 9
+        order = ["O", "B-TYPE", "I-TYPE", "B-BRAND", "I-BRAND",
+                 "B-VOLUME", "I-VOLUME", "B-PERCENT", "I-PERCENT"]
+        for k, v in kw.items():
+            p[order.index(k.replace("_", "-"))] = v
+        return p
+
+    assert reasons("токен", [vec(B_BRAND=0.92)]) == [("strong_brand_0.9", "B-BRAND")]
+    assert reasons("токен", [vec(B_TYPE=0.7)]) == [("strong_type_0.65", "B-TYPE")]
+    assert reasons("токен", [vec(O=0.9)]) == [("strong_o_0.9", "O")]
+    assert reasons("xq", [vec(B_BRAND=0.45)]) == [("short_lat_no_lex", "O")]
+    # p_type must be EXACTLY 0.55 to clear entity_thresh (>=) while dodging
+    # the ladder's strict > at its lowest rung
+    assert reasons("молоко", [vec(B_TYPE=0.55, B_BRAND=0.4)]) == [("clear_type", "B-TYPE")]
+    assert reasons("молоко", [vec(B_TYPE=0.3, B_BRAND=0.28)]) == [("looks_type_guard", "B-TYPE")]
+    assert reasons("барни", [vec(B_BRAND=0.3, B_TYPE=0.2)], frozenset({"барни"})) \
+        == [("lex_or_fuzzy_brand", "B-BRAND")]
+    assert reasons("барни", [vec(B_TYPE=0.55)], frozenset({"барни"})) \
+        == [("type_over_lex", "B-TYPE")]
+    assert reasons("барни", [vec(B_BRAND=0.1)], frozenset({"барни"})) \
+        == [("lex_conf_too_low", "O")]
+    assert reasons("грунт", [vec(B_TYPE=0.55, B_BRAND=0.4)]) == [("clear_type", "B-TYPE")]
+    # NOTE "clear_brand" is unreachable at the working-path defaults: the
+    # ladder's p_brand > 0.55 rung always fires before p_brand ≥ 0.8 can be
+    # tested (same dead branch in the reference, infer.py:392-394)
+    assert reasons("грунт", [vec(B_TYPE=0.2, O=0.4)]) == [("fallback", "B-TYPE")]
+    # short-word break: NO log row for the break word or anything after
+    assert reasons("из молоко", [vec(O=0.5), vec(B_TYPE=0.95)]) == []
+
+
+def test_wratio_changes_fuzzy_hit_vs_levenshtein_only():
+    """A lexicon entry embedded in a longer token: WRatio≥90 hits (substring,
+    scale 0.9), Levenshtein distance is far above the cutoff."""
+    from x5_ner_spark.core.cascade import decide_word_labels
+
+    text = "suprsanta"
+    words = [(0, 9)]
+    probs = [[0.0, 0, 0, 0.3, 0, 0, 0, 0, 0.2]]
+    lex = frozenset({"santa"})
+    with_w = decide_word_labels(text, words, probs, lex, sorted(lex))
+    without = decide_word_labels(text, words, probs, lex, sorted(lex), use_wratio=False)
+    assert with_w == [(0, 9, "B-BRAND")]
+    assert without == [(0, 9, "O")]

@@ -20,11 +20,13 @@ from functools import lru_cache
 
 from .spans import BIO_TAGS, Span
 from .textnorm import (
+    has_latin_vowel,
     is_pure_latin,
     lex_norm,
     lexicon_levenshtein_hit,
     norm_basic,
     norm_token_simple,
+    wratio_lexicon_hit,
 )
 
 # ref: ner/infer.py:27-37 (data sets)
@@ -70,9 +72,21 @@ def decide_word_labels(
     brand_thresh: float = 0.8,
     entity_thresh: float = 0.55,
     short_word_break: bool = True,
+    use_wratio: bool = True,
+    log: list[dict] | None = None,
 ) -> list[Span]:
     """Run the cascade; returns one ``(start, end, label)`` per word (labels
-    include 'O'), spans whitespace-trimmed, empty spans dropped."""
+    include 'O'), spans whitespace-trimmed, empty spans dropped.
+
+    ``use_wratio`` mirrors a rapidfuzz-enabled reference deployment
+    (infer.py:282-291: WRatio ≥ 90 tried first, Levenshtein fallback either
+    way); False reproduces the no-rapidfuzz degradation (infer.py:18-21).
+
+    When ``log`` is passed, one decision record per decided word is appended
+    — the reference's per-word decision log (infer.py:411-413, columns of
+    scripts/make_submission_from_val.py:85-107). The reference appends the
+    row AFTER the BIO rewrite and never logs the short-word break token
+    (the ``break`` fires before the append) — both reproduced."""
     lex_list = brand_lexicon_list if brand_lexicon_list is not None else sorted(brand_lexicon)
     lex_fs = frozenset(lex_list)
     labels: dict[int, str] = {}
@@ -96,14 +110,18 @@ def decide_word_labels(
         in_lex = tok_lex in brand_lexicon
         fuzzy_hit = False
         if not in_lex and lex_list:
-            max_d = 1 if len(tok_lex) <= 6 else 2
-            fuzzy_hit = _fuzzy_hit_cached(tok_lex, lex_fs, max_d)
+            if use_wratio and len(tok_lex) >= 3:
+                fuzzy_hit = wratio_lexicon_hit(tok_lex, lex_fs)
+            if not fuzzy_hit:
+                max_d = 1 if len(tok_lex) <= 6 else 2
+                fuzzy_hit = _fuzzy_hit_cached(tok_lex, lex_fs, max_d)
 
         pure_lat = is_pure_latin(tok_norm)
         short_lat = pure_lat and len(tok_norm) <= 2
 
         # rule 0a: tiny low-confidence token aborts the loop (reference bug,
-        # reproduced intentionally — see module docstring)
+        # reproduced intentionally — see module docstring); the reference
+        # breaks BEFORE its log append, so no record for this word
         if len(tok_norm) <= 2 and p_type < 0.4 and p_brand < 0.4:
             if short_word_break:
                 break
@@ -113,44 +131,54 @@ def decide_word_labels(
 
         # rule 0b: confidence ladder — first hit wins, BRAND > TYPE > O
         lab = ""
-        decided = False
+        reason = ""
         for t in _CONF_LADDER:
             if p_brand_sum >= t * 1.3 or p_brand > t:
                 lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
-                decided = True
+                reason = f"strong_brand_{t}"
             elif p_type_sum >= t * 1.3 or p_type > t:
                 lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
-                decided = True
+                reason = f"strong_type_{t}"
             elif p_o >= t:
                 lab = "O"
-                decided = True
-            if decided:
+                reason = f"strong_o_{t}"
+            if reason:
                 break
 
-        if not decided:
+        if not reason:
             if short_lat and not in_lex and not fuzzy_hit:
                 lab = "O"
+                reason = "short_lat_no_lex"
             elif _looks_like_type_word(token_text):
                 strong_brand = p_brand >= max(brand_thresh, p_type + 0.20, entity_thresh + 0.10)
                 if strong_brand and (in_lex or fuzzy_hit):
                     lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
+                    reason = "brand_over_type_very_strong"
                 elif p_type >= max(entity_thresh, p_brand + 0.07):
                     lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
+                    reason = "clear_type"
                 else:
                     lab = _fallback_label(p_type)
+                    reason = "looks_type_guard"
             elif in_lex or fuzzy_hit:
                 if p_type >= max(entity_thresh, p_brand + 0.07):
                     lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
+                    reason = "type_over_lex"
                 elif p_brand >= 0.20 and p_brand >= p_type - 0.05:
                     lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
+                    reason = "lex_or_fuzzy_brand"
                 else:
                     lab = _fallback_label(p_type)
+                    reason = "lex_conf_too_low"
             elif p_type >= max(entity_thresh, p_brand + 0.07):
                 lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
+                reason = "clear_type"
             elif p_brand >= max(brand_thresh, p_type + 0.10):
                 lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
+                reason = "clear_brand"
             else:
                 lab = _fallback_label(p_type)
+                reason = "fallback"
 
         # BIO continuity rewrite vs previous word (infer.py:399-405)
         if lab != "O":
@@ -159,6 +187,19 @@ def decide_word_labels(
 
         labels[wid] = lab
         prev_lab = lab
+
+        if log is not None:
+            log.append({
+                "token_text": token_text, "start": s, "end": e,
+                "label": lab, "reason": reason,
+                "p_brand": round(p_brand, 3), "p_type": round(p_type, 3),
+                "in_lex": in_lex, "fuzzy_hit": fuzzy_hit,
+                "pure_lat": pure_lat, "short_lat": short_lat,
+                "has_vowel": has_latin_vowel(tok_norm),
+                "p_brand_sum": round(p_brand_sum, 3),
+                "p_type_sum": round(p_type_sum, 3),
+                "p_o": round(p_o, 3),
+            })
 
     out: list[Span] = []
     for wid, (s, e) in enumerate(word_spans):

@@ -58,13 +58,18 @@ def final_mention_spans_batch(
     brand_lexicon: frozenset[str] = frozenset(),
     brand_lexicon_list: list[str] | None = None,
     max_words_per_microbatch: int = 8192,
+    logs: list[list[dict]] | None = None,
 ) -> list[list[Span]]:
     """Batched variant of :func:`final_mention_spans` — the N3 inference
     shape: all words of the Arrow batch go through the model in token-count-
     capped micro-batches (ONE vectorized call per ≤8192 unique words), then
     the per-document cascade/post-process runs on the shared probabilities.
     Output is element-wise identical to the per-text function (the scalar
-    path delegates to the same batch kernel)."""
+    path delegates to the same batch kernel).
+
+    Pass ``logs`` (an empty list) to collect one per-word decision-record
+    list per text (S8 decision log, ref infer.py:411-413) from the same
+    cascade run — empty/blank texts get an empty list."""
     words_per_text: list[list[tuple[int, int]] | None] = []
     keys_per_text: list[list[tuple[str, bool]] | None] = []
     keys: list[tuple[str, bool]] = []
@@ -102,11 +107,42 @@ def final_mention_spans_batch(
     for t, words, tkeys in zip(texts, words_per_text, keys_per_text):
         if words is None:
             out.append([])
+            if logs is not None:
+                logs.append([])
             continue
         probs = [probs_map[k] for k in tkeys]
-        raw = decide_word_labels(t, words, probs, brand_lexicon, lex_list)
+        log: list[dict] | None = [] if logs is not None else None
+        raw = decide_word_labels(t, words, probs, brand_lexicon, lex_list, log=log)
+        if logs is not None:
+            logs.append(log)
         out.append(postprocess(t, raw) if raw else [])
     return out
+
+
+def decision_log_rows(
+    text: str,
+    brand_lexicon: frozenset[str] = frozenset(),
+    brand_lexicon_list: list[str] | None = None,
+) -> list[dict]:
+    """Per-word decision records for one text (S8 decision log)."""
+    logs: list[list[dict]] = []
+    final_mention_spans_batch([text], brand_lexicon, brand_lexicon_list, logs=logs)
+    return logs[0]
+
+
+def serialize_log_row(text: str, rec: dict, error: str | None = "0") -> str:
+    """One ;-separated decision-log line, byte-compatible with the reference
+    (infer.py:411-413; ``error=None`` gives the raw 16-field line, a str
+    appends the error column of make_submission_from_val.py:60).
+    %.3f on the stored round(x, 3) floats reproduces %.3f on the raw values
+    (decimal rounding is idempotent)."""
+    row = (
+        f"{text};{rec['token_text']};{rec['start']};{rec['end']};{rec['label']};"
+        f"{rec['reason']};{rec['p_brand']:.3f};{rec['p_type']:.3f};{rec['in_lex']};"
+        f"{rec['fuzzy_hit']};{rec['pure_lat']};{rec['short_lat']};{rec['has_vowel']};"
+        f"{rec['p_brand_sum']:.3f};{rec['p_type_sum']:.3f};{rec['p_o']:.3f}"
+    )
+    return row if error is None else f"{row};{error}"
 
 
 def annotate(text: str, brand_lexicon: frozenset[str] = frozenset()) -> str:

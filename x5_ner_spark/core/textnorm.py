@@ -121,6 +121,88 @@ def fuzz_ratio(a: str, b: str) -> float:
     return (1.0 - indel_distance(a, b) / total) * 100.0
 
 
+def fuzz_partial_ratio(a: str, b: str) -> float:
+    """rapidfuzz-compatible ``fuzz.partial_ratio``: best ``fuzz.ratio`` of
+    the shorter string against rapidfuzz's window set over the longer —
+    prefixes shorter than the needle, every needle-length window, suffixes
+    shorter than the needle (rapidfuzz fuzz_py._partial_ratio_short_needle).
+    Mid-string windows SHORTER than the needle are deliberately not searched
+    (same as rapidfuzz): partial_ratio('abc', 'xxabxx') is 66.67, not 80.
+    The char-set skip is reproduced for fidelity; it never changes the max
+    (dropping a trailing char absent from the needle never lowers indel
+    similarity)."""
+    if not a or not b:
+        return 100.0 if not a and not b else 0.0
+    if len(a) > len(b):
+        a, b = b, a
+    la, lb = len(a), len(b)
+    chars = set(a)
+    best = 0.0
+    for i in range(1, la):  # prefix windows shorter than the needle
+        if b[i - 1] not in chars:
+            continue
+        best = max(best, fuzz_ratio(a, b[:i]))
+    for i in range(lb - la):  # needle-length windows (last one via suffixes)
+        if b[i + la - 1] not in chars:
+            continue
+        best = max(best, fuzz_ratio(a, b[i : i + la]))
+    for i in range(lb - la, lb):  # suffix windows, longest first
+        if b[i] not in chars:
+            continue
+        best = max(best, fuzz_ratio(a, b[i:]))
+    return best
+
+
+def fuzz_wratio(a: str, b: str) -> float:
+    """rapidfuzz-compatible ``fuzz.WRatio`` for WHITESPACE-FREE inputs — the
+    only shape the cascade feeds it (``lex_norm`` output, ref infer.py:282-291).
+    For single-token strings token_sort/token_set reduce to ``ratio`` and the
+    partial token variants to ``partial_ratio``, so WRatio (rapidfuzz fuzz.py,
+    UNBASE_SCALE=0.95) collapses to:
+      len_ratio < 1.5 → max(ratio, ratio·0.95) = ratio
+      else            → max(ratio, partial_ratio·scale), scale 0.9 (<8) / 0.6
+    """
+    if not a or not b:
+        return 0.0
+    la, lb = len(a), len(b)
+    len_ratio = max(la, lb) / min(la, lb)
+    r = fuzz_ratio(a, b)
+    if len_ratio < 1.5:
+        return r
+    scale = 0.9 if len_ratio < 8 else 0.6
+    return max(r, fuzz_partial_ratio(a, b) * scale)
+
+
+@lru_cache(maxsize=1 << 16)
+def wratio_lexicon_hit(term: str, lexicon: frozenset[str], cutoff: float = 90.0) -> bool:
+    """Any lexicon entry with WRatio(term, entry) ≥ cutoff — the reference's
+    ``rf_process.extractOne(..., scorer=fuzz.WRatio, score_cutoff=90)`` test
+    (infer.py:282-291). Fast paths derived from the cutoff algebra (both
+    equivalence-tested against plain fuzz_wratio):
+    - len_ratio < 1.5: WRatio = ratio, and ratio ≥ 90 needs indel ≤
+      0.1·(la+lb), so |la-lb| beyond that bound can't hit;
+    - len_ratio ≥ 1.5: ratio ≥ 90 is impossible (indel ≥ |la-lb| alone drops
+      ratio below 90) and partial·0.9 ≥ 90 forces partial = 100, i.e. the
+      shorter string appears verbatim inside the longer.
+    The algebra is only exact for cutoff ≥ 90; lower cutoffs take the plain
+    full scan."""
+    lt = len(term)
+    if cutoff < 90.0:
+        return any(fuzz_wratio(term, cand) >= cutoff for cand in lexicon)
+    for cand in lexicon:
+        lc = len(cand)
+        if not lc:
+            continue
+        if max(lt, lc) / min(lt, lc) < 1.5:
+            if abs(lt - lc) <= (100.0 - cutoff) / 100.0 * (lt + lc) and \
+                    fuzz_ratio(term, cand) >= cutoff:
+                return True
+        elif (term in cand if lt < lc else cand in term):
+            if 100.0 * (0.9 if max(lt, lc) / min(lt, lc) < 8 else 0.6) >= cutoff:
+                return True
+    return False
+
+
 def token_close_to_lexicon(tok: str, lex: frozenset[str] | set[str]) -> bool:
     """Fuzzy lexicon membership (ref: improved_preprocessing.py:48-72):
     normalize; exact hit; else among length-window (±2) candidates accept

@@ -1,0 +1,73 @@
+"""S8 proper: the per-word decision-log sink.
+
+One output row per DECIDED word — token, final BIO label, the cascade reason
+code, the six probabilities and five feature flags of the reference's debug
+log (ner/infer.py:411-413; column set of
+scripts/make_submission_from_val.py:85-107). Runs the SAME shared-core
+cascade as mention detection (core/cascade.decide_word_labels with log
+capture), exploded via mapInPandas — so label/reason parity with the span
+path is by construction, and the short-word break/row-skip semantics are the
+reference's.
+
+Scale shape: map-only over the documents scan (no shuffle); output is
+~tokens-per-doc × docs rows, written partitioned like any fact table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.mention_pipeline import final_mention_spans_batch
+
+LOG_COLUMNS = [
+    "doc_id", "token_text", "start", "end", "label", "reason",
+    "p_brand", "p_type", "in_lex", "fuzzy_hit", "pure_lat", "short_lat",
+    "has_vowel", "p_brand_sum", "p_type_sum", "p_o",
+]
+LOG_SCHEMA = (
+    "doc_id long, token_text string, start int, end int, label string, "
+    "reason string, p_brand double, p_type double, in_lex boolean, "
+    "fuzzy_hit boolean, pure_lat boolean, short_lat boolean, "
+    "has_vowel boolean, p_brand_sum double, p_type_sum double, p_o double"
+)
+
+
+def decision_log(
+    docs: DataFrame,
+    brand_lexicon=frozenset(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text) table → per-word decision-log rows. ``brand_lexicon`` may
+    be a frozenset or a ``sparkContext.broadcast`` handle."""
+    lex_handle = brand_lexicon
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex = lex_handle.value if hasattr(lex_handle, "value") else lex_handle
+        lex = frozenset(lex)
+        lex_list = sorted(lex)
+        for pdf in pdfs:
+            texts = ["" if t is None else t for t in pdf["_log_text"]]
+            logs: list[list[dict]] = []
+            final_mention_spans_batch(texts, lex, lex_list, logs=logs)
+            rows = []
+            for did, recs in zip(pdf["_log_id"], logs):
+                for r in recs:
+                    rows.append((
+                        did, r["token_text"], r["start"], r["end"], r["label"],
+                        r["reason"], r["p_brand"], r["p_type"], r["in_lex"],
+                        r["fuzzy_hit"], r["pure_lat"], r["short_lat"],
+                        r["has_vowel"], r["p_brand_sum"], r["p_type_sum"],
+                        r["p_o"],
+                    ))
+            yield pd.DataFrame(rows, columns=LOG_COLUMNS)
+
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("_log_id"),
+        F.col(text_col).alias("_log_text"),
+    )
+    return keyed.mapInPandas(gen, LOG_SCHEMA)
