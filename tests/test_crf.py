@@ -1,0 +1,79 @@
+"""CRF Viterbi decode: brute-force path-enumeration oracle, padded-batch ≡
+per-sequence identity, BIO-structure sanity of the stub prior, and the
+flag-gated CRF mention path end to end."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+from x5_ner_spark.core.crf import stub_crf_params, viterbi_decode, viterbi_decode_batch
+
+
+def brute_force(em, start, trans, end):
+    T, C = em.shape
+    best, best_score = None, -np.inf
+    for path in itertools.product(range(C), repeat=T):
+        s = start[path[0]] + em[0, path[0]]
+        for t in range(1, T):
+            s += trans[path[t - 1], path[t]] + em[t, path[t]]
+        s += end[path[-1]]
+        if s > best_score:
+            best, best_score = list(path), s
+    return best
+
+
+def test_viterbi_matches_brute_force():
+    rng = np.random.RandomState(11)
+    C = 4
+    for trial in range(200):
+        T = rng.randint(1, 6)
+        em = rng.randn(T, C)
+        start, trans, end = rng.randn(C), rng.randn(C, C), rng.randn(C)
+        got = viterbi_decode(em, start, trans, end)
+        want = brute_force(em, start, trans, end)
+        assert got == want, (trial, got, want)
+
+
+def test_batch_identical_to_scalar():
+    rng = np.random.RandomState(5)
+    C = 9
+    start, trans, end = stub_crf_params(C)
+    seqs = [rng.randn(rng.randint(1, 12), C) for _ in range(40)] + [np.zeros((0, C))]
+    batch = viterbi_decode_batch(seqs, start, trans, end)
+    for s, got in zip(seqs, batch):
+        if len(s) == 0:
+            assert got == []
+        else:
+            assert got == viterbi_decode(s, start, trans, end)
+
+
+def test_stub_prior_enforces_bio_structure():
+    """With the stub transitions, decoded paths never open an entity with
+    I-X or continue I-X after a different base."""
+    from x5_ner_spark.core.spans import BIO_TAGS
+
+    rng = np.random.RandomState(3)
+    start, trans, end = stub_crf_params()
+    for _ in range(100):
+        em = rng.randn(8, len(BIO_TAGS)) * 0.5  # weak emissions → prior rules
+        path = [BIO_TAGS[i] for i in viterbi_decode(em, start, trans, end)]
+        prev = "O"
+        for tag in path:
+            if tag.startswith("I-"):
+                assert prev.endswith(tag[2:]) and prev != "O", path
+            prev = tag
+
+
+def test_crf_mention_path_end_to_end():
+    from x5_ner_spark.core.mention_pipeline import crf_mention_spans_batch
+
+    texts = ["молоко простоквашино 3,2% 1 л", "", "   ", "hello spark data"]
+    a = crf_mention_spans_batch(texts)
+    b = crf_mention_spans_batch(texts, max_words_per_microbatch=2)
+    assert a == b  # micro-batch size can't change the decode
+    assert a[1] == [] and a[2] == []
+    assert all(isinstance(s, tuple) and len(s) == 3 for s in a[0])
+    # deterministic across calls
+    assert a == crf_mention_spans_batch(texts)

@@ -70,3 +70,29 @@ def test_fuzz_postprocess_differential():
         got = postprocess(t, list(spans))
         want = [tuple(x) for x in ref.postprocess_all(t, list(spans))]
         assert got == want, (repr(t), spans)
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not present")
+def test_fuzz_w5_w8_differential():
+    """Flag-gated W5 (merge_across_joiners) / W8 (expand_phrases_right) vs
+    the reference functions, forced on, over random span sets."""
+    from x5_ner_spark.core.postprocess import expand_phrases_right, merge_across_joiners
+
+    ref = load_reference_module("ner.postprocess")
+    rng = random.Random(424242)
+    tags = ["O", "B-TYPE", "I-TYPE", "B-BRAND", "B-VOLUME", "B-PERCENT"]
+    for t in gen_texts(300, seed=55):
+        spans = []
+        pos = 0
+        while pos < len(t) and len(spans) < 5:
+            ln = rng.randint(1, 6)
+            if rng.random() < 0.6:
+                spans.append((pos, min(pos + ln, len(t)), rng.choice(tags)))
+            pos += ln + rng.randint(0, 2)
+        got8 = expand_phrases_right(t, list(spans))
+        want8 = sorted(set(tuple(x) for x in ref.expand_phrases_right(t, list(spans))),
+                       key=lambda x: (x[0], x[1], x[2]))
+        assert got8 == want8, (repr(t), spans)
+        got5 = merge_across_joiners(t, list(spans))
+        want5 = [tuple(x) for x in ref.merge_across_joiners(t, list(spans))]
+        assert got5 == want5, (repr(t), spans)

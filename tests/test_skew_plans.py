@@ -153,3 +153,14 @@ def test_embedding_near_dups_recall(spark):
     assert len(bf) >= 20
     assert lsh <= bf  # rescore is exact: no false positives
     assert len(lsh & bf) / len(bf) >= 0.9, (len(lsh & bf), len(bf))
+
+
+def test_zip_join_scalable_matches_global(spark, sf_dir):
+    from x5_ner_spark.operators import windows as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    plain = sorted(tuple(r) for r in W.zip_join(a, b, ["text", "doc_id"], "text").collect())
+    scal = sorted(tuple(r) for r in W.zip_join_scalable(a, b, ["text", "doc_id"], "text", num_partitions=7).collect())
+    assert plain == scal and len(plain) > 0

@@ -119,6 +119,71 @@ def final_mention_spans_batch(
     return out
 
 
+def crf_mention_spans_batch(
+    texts: list[str],
+    crf_params=None,
+    max_words_per_microbatch: int = 8192,
+) -> list[list[Span]]:
+    """Flag-gated CRF decode path (N1 variant): per-word EMISSIONS (raw
+    logits) → batched Viterbi over a deterministic (or checkpoint-loaded)
+    transition matrix → BIO labels → postprocess. The reference computes
+    this path and then discards it during inference (infer.py:189 dead
+    assignment) — hence a separate opt-in function, not the default. Word
+    segmentation and micro-batching match final_mention_spans_batch."""
+    import numpy as np
+
+    from .crf import stub_crf_params, viterbi_decode_batch
+    from .spans import BIO_TAGS
+    from .stub_model import batch_logits
+
+    start, trans, end = crf_params if crf_params is not None else stub_crf_params()
+
+    words_per_text: list[list[tuple[int, int]] | None] = []
+    keys_per_text: list[list[tuple[str, bool]] | None] = []
+    keys: list[tuple[str, bool]] = []
+    for t in texts:
+        if not t or not t.strip():
+            words_per_text.append(None)
+            keys_per_text.append(None)
+            continue
+        words = [(s, e) for _, s, e in tokenize_with_offsets(t)]
+        tkeys = [(norm_token_simple(t[s:e]), i > 0) for i, (s, e) in enumerate(words)]
+        words_per_text.append(words)
+        keys_per_text.append(tkeys)
+        keys.extend(tkeys)
+
+    uniq = list(dict.fromkeys(keys))
+    emis: dict[tuple[str, bool], "np.ndarray"] = {}
+    for lo in range(0, len(uniq), max_words_per_microbatch):
+        chunk = uniq[lo : lo + max_words_per_microbatch]
+        mat = batch_logits(chunk)
+        for k, row in zip(chunk, mat):
+            emis[k] = row
+
+    seqs = [
+        np.stack([emis[k] for k in tkeys]) if tkeys else None
+        for tkeys in keys_per_text
+    ]
+    paths = viterbi_decode_batch([s for s in seqs if s is not None], start, trans, end)
+    it = iter(paths)
+    out: list[list[Span]] = []
+    for t, words, s in zip(texts, words_per_text, seqs):
+        if s is None:
+            out.append([])
+            continue
+        labels = [BIO_TAGS[i] for i in next(it)]
+        raw: list[Span] = []
+        for (ws, we), lab in zip(words, labels):
+            while ws < we and t[ws].isspace():
+                ws += 1
+            while ws < we and t[we - 1].isspace():
+                we -= 1
+            if ws < we:
+                raw.append((ws, we, lab))
+        out.append(postprocess(t, raw) if raw else [])
+    return out
+
+
 def decision_log_rows(
     text: str,
     brand_lexicon: frozenset[str] = frozenset(),

@@ -144,6 +144,76 @@ def merge_model_and_numeric(text: str, base: list[Span], add: list[Span]) -> lis
     return sorted(set(out), key=lambda x: (x[0], x[1], x[2]))
 
 
+_RE_WORD = _rx.compile(r"\p{L}[\p{L}\p{N}-]*", _rx.UNICODE)
+_SKIP_PUNCT = " \t.,;:!?"
+_JOINERS = ("-", "–", "—", ".", "+", "/")
+
+
+def expand_phrases_right(
+    text: str, spans: list[Span], tag_bases: tuple[str, ...] = ("TYPE", "BRAND"),
+    max_words: int = 4,
+) -> list[Span]:
+    """W8 (ref postprocess.py:311-355, DISABLED at its call site
+    postprocess.py:520 — flag-gated default-off here for literal coverage):
+    extend each B-{base} span rightward over up to ``max_words`` adjacent
+    words (gap = spaces/simple punctuation only), unless the expansion would
+    overlap any non-target span."""
+    other = [
+        (s, e) for s, e, t in spans
+        if (not t.startswith("B-")) or t.split("-", 1)[-1] not in tag_bases
+    ]
+    out: list[Span] = []
+    for s, e, tag in spans:
+        if not tag.startswith("B-") or tag.split("-", 1)[-1] not in tag_bases:
+            out.append((s, e, tag))
+            continue
+        cur_e = e
+        for _ in range(max_words):
+            j = cur_e
+            while j < len(text) and text[j] in _SKIP_PUNCT:
+                j += 1
+            m = _RE_WORD.match(text, j)
+            if j >= len(text) or not m:
+                break
+            cur_e = m.end()
+        if any(ss < cur_e and ee > s for ss, ee in other):
+            out.append((s, e, tag))
+        else:
+            out.append((s, cur_e, tag))
+    return sorted(set(out), key=lambda x: (x[0], x[1], x[2]))
+
+
+def merge_across_joiners(
+    text: str, spans: list[Span], joiners: tuple[str, ...] = _JOINERS,
+    allow_spaces: bool = True,
+) -> list[Span]:
+    """W5 (ref postprocess.py:398-437, DISABLED at its call site
+    postprocess.py:537 — flag-gated default-off here): glue adjacent
+    same-base spans whose gap is only joiner characters (and optionally
+    spaces); the earlier span keeps its tag, its end extends."""
+    if not spans:
+        return spans
+
+    def base(tag: str) -> str:
+        return tag.split("-", 1)[-1] if "-" in tag else tag
+
+    def gap_ok(pe: int, cs: int) -> bool:
+        for ch in text[pe:cs]:
+            if allow_spaces and ch.isspace():
+                continue
+            if ch not in joiners:
+                return False
+        return True
+
+    out: list[Span] = []
+    for s, e, t in sorted(spans, key=lambda x: (x[0], x[1])):
+        if out and base(out[-1][2]).upper() == base(t).upper() and gap_ok(out[-1][1], s):
+            out[-1] = (out[-1][0], e, out[-1][2])
+        else:
+            out.append((s, e, t))
+    return out
+
+
 def fix_first_span(text: str, spans: list[Span]) -> list[Span]:
     """Re-anchor the first span to skip leading whitespace
     (ref: postprocess.py:440-457)."""
@@ -183,16 +253,24 @@ def postprocess(
     do_split_type: bool = True,
     do_boost_numeric: bool = True,
     do_replace_after_prepositions: bool = True,
+    do_expand_right: bool = False,
+    do_merge_joiners: bool = False,
 ) -> list[Span]:
     """Full post-process composition (ref: postprocess.py:500-548). Note the
     reference's enabled path only runs ``fix_first_span`` under
-    ``do_split_type`` (expand/split calls are commented out there)."""
+    ``do_split_type`` (expand/split calls are commented out there);
+    ``do_expand_right`` (W8) and ``do_merge_joiners`` (W5) re-enable those
+    disabled stages at their reference call sites."""
     out = spans
     if do_split_type:
+        if do_expand_right:  # ref call site postprocess.py:520
+            out = expand_phrases_right(text, out)
         out = fix_first_span(text, out)
     if do_boost_numeric:
         out = merge_model_and_numeric(text, out, numeric_spans(text))
     out = stitch_consecutive_b_to_i(text, out)
+    if do_merge_joiners:  # ref call site postprocess.py:537
+        out = merge_across_joiners(text, out)
     out = zeroize_percent_after_size(text, out)
     if do_replace_after_prepositions:
         out = zero_after_prepositions(text, out)

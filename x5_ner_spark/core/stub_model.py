@@ -43,9 +43,10 @@ def _hash_floats(key: str, n: int) -> list[float]:
 # deterministic hash noise + rule biases of the pinned stub spec; swapping in
 # ONNX/torch replaces ONLY batch_probabilities' body.
 
-def batch_probabilities(tokens_conts: "list[tuple[str, bool]]"):
-    """[(norm_token, is_continuation)] → numpy [n, 9] softmax rows.
-    Identical values to word_probabilities (which delegates here)."""
+def batch_logits(tokens_conts: "list[tuple[str, bool]]"):
+    """[(norm_token, is_continuation)] → numpy [n, 9] raw emission rows —
+    the pre-softmax surface a CRF head consumes (ref train.py:52-62 returns
+    emissions; infer.py:186-189 feeds them to viterbi_decode)."""
     import numpy as np
 
     n = len(tokens_conts)
@@ -54,6 +55,17 @@ def batch_probabilities(tokens_conts: "list[tuple[str, bool]]"):
     logits = np.empty((n, _N))
     for r, (tok, cont) in enumerate(tokens_conts):
         logits[r, :] = _logits(tok, cont)
+    return logits
+
+
+def batch_probabilities(tokens_conts: "list[tuple[str, bool]]"):
+    """[(norm_token, is_continuation)] → numpy [n, 9] softmax rows.
+    Identical values to word_probabilities (which delegates here)."""
+    import numpy as np
+
+    logits = batch_logits(tokens_conts)
+    if not len(logits):
+        return logits
     m = logits.max(axis=1, keepdims=True)
     e = np.exp(logits - m)
     return e / e.sum(axis=1, keepdims=True)

@@ -81,15 +81,22 @@ def numeric_spans_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield batch.map(lambda t: _spans_to_rows(numeric_spans(t)) if t else [])
 
 
-def make_mentions_udf(brand_lexicon=frozenset(), *, postprocessed: bool = True):
+def make_mentions_udf(
+    brand_lexicon=frozenset(), *, postprocessed: bool = True, decode: str = "cascade",
+):
     """Mention-detection UDF factory. ``brand_lexicon`` may be a frozenset or
     a ``sparkContext.broadcast`` handle (unwrapped lazily on the executor).
+
+    ``decode='crf'`` selects the flag-gated CRF Viterbi path (batched decode
+    over the deterministic stub transition matrix; core/crf.py) instead of
+    the probability cascade — opt-in because the reference itself computes
+    and then discards the Viterbi path in inference (infer.py:189).
 
     The heavy state (sorted lexicon list) is materialized ONCE per Python
     worker per partition via the iterator form — the Spark analog of the
     reference's lazy model singleton (service/app.py:20-34)."""
 
-    from ..core.mention_pipeline import final_mention_spans_batch
+    from ..core.mention_pipeline import crf_mention_spans_batch, final_mention_spans_batch
 
     @pandas_udf(SPAN_ARRAY)
     def mentions(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -97,7 +104,10 @@ def make_mentions_udf(brand_lexicon=frozenset(), *, postprocessed: bool = True):
         lex = frozenset(lex)
         lex_list = sorted(lex)
         for batch in texts:
-            if postprocessed:
+            if decode == "crf":
+                spans = crf_mention_spans_batch(["" if t is None else t for t in batch])
+                yield pd.Series([_spans_to_rows(s) for s in spans])
+            elif postprocessed:
                 # batched N3 shape: one vectorized model call per micro-batch
                 # of words across the whole Arrow batch
                 spans = final_mention_spans_batch(

@@ -102,6 +102,37 @@ def zip_join(a: DataFrame, b: DataFrame, order_cols: list[str], compare_col: str
     )
 
 
+def zip_join_scalable(
+    a: DataFrame, b: DataFrame, order_cols: list[str], compare_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """J6 at scale: ``zip_join``'s global row_number executes on a single
+    partition. Here each side gets global positions from range partitions —
+    per-partition row_number plus a broadcast offset table built from the
+    per-partition counts (num_partitions rows; the only single-partition
+    window runs over THAT tiny table). The final equi-join shuffles on rn
+    like any key join. Output is identical to zip_join (equivalence-tested):
+    global position in the (order_cols) total order is partition-layout-
+    independent."""
+    def with_rn(df: DataFrame) -> DataFrame:
+        base = df.repartitionByRange(num_partitions, *order_cols)
+        part = base.withColumn("pid", F.spark_partition_id())
+        w = Window.partitionBy("pid").orderBy(*order_cols)
+        local = part.withColumn("lrn", F.row_number().over(w))
+        counts = local.groupBy("pid").agg(F.max("lrn").alias("cnt"))
+        wc = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.withColumn("off", F.coalesce(F.sum("cnt").over(wc), F.lit(0)))
+        return local.join(F.broadcast(offsets.select("pid", "off")), "pid").withColumn(
+            "rn", F.col("lrn") + F.col("off")
+        )
+
+    aa = with_rn(a).select("rn", F.col(compare_col).alias("left_val"))
+    bb = with_rn(b).select("rn", F.col(compare_col).alias("right_val"))
+    return aa.join(bb, "rn").withColumn(
+        "equal", (F.col("left_val") == F.col("right_val")).cast("int")
+    )
+
+
 def lead_prefix_flags_scalable(
     docs: DataFrame, prefix_len: int = 3, num_partitions: int = 32
 ) -> DataFrame:
