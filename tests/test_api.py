@@ -81,3 +81,27 @@ def test_lsh_topk_recall(spark, sf_dir):
            for r in similarity.lsh_topk(emb, q, k=3, n_planes=4).collect()}
     # approximate: some recall, never more than k per query
     assert 0 < len(lsh) <= len(bf)
+
+
+def test_yaml_config_source(tmp_path, monkeypatch):
+    from x5_ner_spark.sources.config import DEFAULTS, load_config
+
+    assert load_config(None) == DEFAULTS
+    p = tmp_path / "pipeline.yaml"
+    p.write_text("n_pages: 123\nout_dir: /tmp/cfg_out\nextra_key: hello\n")
+    cfg = load_config(str(p))
+    assert cfg["n_pages"] == 123 and cfg["out_dir"] == "/tmp/cfg_out"
+    assert cfg["n_buckets"] == 8  # default survives
+    assert cfg["extra_key"] == "hello"  # unknown keys kept (ref cfg.get style)
+    monkeypatch.setenv("X5_SPARK_N_BUCKETS", "4")
+    assert load_config(str(p))["n_buckets"] == 4
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        load_config(str(tmp_path / "missing.yaml"))
+
+
+def test_iceberg_catalog_detection(spark):
+    from x5_ner_spark.pipeline.graph import iceberg_catalog
+
+    # sandbox has no Iceberg jars/catalog: parquet layout must be selected
+    assert iceberg_catalog(spark) is None

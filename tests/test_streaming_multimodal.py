@@ -120,3 +120,55 @@ def test_stateful_domain_counts(spark, tmp_path):
         .collect()
     }
     assert got_map == want and len(want) > 0
+
+
+def test_stateful_update_timeout_eviction():
+    """_update with a timed-out state must emit the final tally and remove
+    the entry (processing-time idle eviction, bounded state)."""
+    import pandas as pd
+
+    from x5_ner_spark.streaming import stateful
+
+    class FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.exists = value is not None
+            self.hasTimedOut = True
+            self.removed = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):  # pragma: no cover - must not be called
+            raise AssertionError("timed-out path must not update state")
+
+    st = FakeState((7, 42))
+    out = list(stateful._update(("shop.example",), iter([]), st))
+    assert st.removed
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["domain"], row["n_pages"], row["n_mentions"]) == ("shop.example", 7, 42)
+
+    # live path still accumulates and arms the timeout
+    class LiveState(FakeState):
+        def __init__(self, value):
+            super().__init__(value)
+            self.hasTimedOut = False
+            self.updated = None
+            self.timeout_ms = None
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    st2 = LiveState((1, 2))
+    pdf = pd.DataFrame({"n_spans": [3, 4]})
+    out2 = list(stateful._update(("d",), iter([pdf]), st2))
+    assert st2.updated == (3, 9) and st2.timeout_ms == stateful.IDLE_TIMEOUT_MS
+    assert out2[0].iloc[0]["n_mentions"] == 9

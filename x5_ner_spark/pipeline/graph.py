@@ -25,6 +25,40 @@ MANIFEST_SCHEMA = (
 )
 
 
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog, or None. Detection keys on the
+    standard ``spark.sql.catalog.<name> = ...iceberg...SparkCatalog`` conf —
+    present on any Iceberg-enabled cluster, absent in this sandbox (no
+    Iceberg jars baked in), so the parquet layout is the tested default and
+    the table path activates only where it can actually run."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:
+        return None
+    for k, v in confs:
+        parts = k.split(".")
+        if len(parts) == 4 and k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower():
+            return parts[3]
+    return None
+
+
+def _write_stage_iceberg(
+    bucketed: DataFrame, catalog: str, namespace: str, stage: str,
+) -> None:
+    """Iceberg twin of the parquet bucket write: same part_id partitioning,
+    same write-then-commit ordering (an Iceberg snapshot commit is atomic, so
+    the pre-write directory cleanup of the parquet path becomes a no-op —
+    a died mid-write run simply never committed)."""
+    spark = bucketed.sparkSession
+    table = f"{catalog}.{namespace}.{stage}"
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+    try:
+        bucketed.writeTo(table).append()
+    except Exception:
+        # first write: create partitioned table, then the data lands with it
+        bucketed.writeTo(table).partitionedBy(F.col("part_id")).create()
+
+
 def with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     """Deterministic bucket column (xxhash64 → non-negative mod)."""
     return df.withColumn(
@@ -58,6 +92,7 @@ def write_stage(
     n_buckets: int = 8,
     run_id: str = "run0",
     resume: bool = True,
+    catalog: str | None = None,
 ) -> list[int]:
     """Write ``df`` bucketed by ``key`` into root/stage/part_id=*/ with one
     manifest row per completed bucket. Returns the bucket ids written.
@@ -65,26 +100,38 @@ def write_stage(
     Buckets are written via partitionBy (one pass over the data); manifests
     are derived from the written output so a manifest row EXISTS only if its
     bucket landed completely (write-then-commit ordering).
+
+    When an Iceberg catalog is configured (auto-detected, or passed via
+    ``catalog``), the stage lands in ``<catalog>.<basename(root)>.<stage>``
+    through ``writeTo`` instead of raw parquet; manifests and the resume
+    anti-join are layout-independent (they key on (stage, part_id)).
     """
     spark = df.sparkSession
     todo = pending_parts(spark, root, stage, n_buckets) if resume else list(range(n_buckets))
     if not todo:
         return []
-    # crash-consistency: a bucket dir without a manifest row means a prior
-    # run died mid-write — clear it before re-appending (on Iceberg this is
-    # a table-commit rollback; on the filesystem it's a directory delete)
-    import shutil
-
-    for p in todo:
-        part_dir = os.path.join(root, stage, f"part_id={p}")
-        if os.path.isdir(part_dir):
-            shutil.rmtree(part_dir, ignore_errors=True)
+    cat = catalog if catalog is not None else iceberg_catalog(spark)
+    namespace = os.path.basename(root.rstrip("/")).replace("-", "_") or "kg"
     t0 = time.time()
     bucketed = with_bucket(df, key, n_buckets).filter(F.col("part_id").isin(todo))
     out_path = os.path.join(root, stage)
-    bucketed.write.mode("append").partitionBy("part_id").parquet(out_path)
+    if cat:
+        _write_stage_iceberg(bucketed, cat, namespace, stage)
+        written = spark.read.table(f"{cat}.{namespace}.{stage}").filter(
+            F.col("part_id").isin(todo)
+        )
+    else:
+        # crash-consistency: a bucket dir without a manifest row means a
+        # prior run died mid-write — clear it before re-appending (Iceberg
+        # gets this for free from atomic snapshot commits)
+        import shutil
 
-    written = spark.read.parquet(out_path).filter(F.col("part_id").isin(todo))
+        for p in todo:
+            part_dir = os.path.join(root, stage, f"part_id={p}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir, ignore_errors=True)
+        bucketed.write.mode("append").partitionBy("part_id").parquet(out_path)
+        written = spark.read.parquet(out_path).filter(F.col("part_id").isin(todo))
     wall = time.time() - t0
     stats = written.groupBy("part_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -99,5 +146,11 @@ def write_stage(
     return todo
 
 
-def read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:
+def read_stage(
+    spark: SparkSession, root: str, stage: str, catalog: str | None = None,
+) -> DataFrame:
+    cat = catalog if catalog is not None else iceberg_catalog(spark)
+    if cat:
+        namespace = os.path.basename(root.rstrip("/")).replace("-", "_") or "kg"
+        return spark.read.table(f"{cat}.{namespace}.{stage}")
     return spark.read.parquet(os.path.join(root, stage))

@@ -119,18 +119,34 @@ def run_pipeline(
 
 def main() -> None:
     from ..session import get_spark
+    from ..sources.config import load_config
     from .fixtures import pages_df
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None, help="YAML config (S7); flags override")
     ap.add_argument("--pages", default=None, help="parquet path of pages table")
-    ap.add_argument("--n", type=int, default=10_000, help="synthesize N pages if no --pages")
-    ap.add_argument("--out", default="/tmp/x5_kg_out")
-    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--n", type=int, default=None, help="synthesize N pages if no --pages")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--buckets", type=int, default=None)
     args = ap.parse_args()
 
+    cfg = load_config(args.config)
+    pages_path = args.pages if args.pages is not None else cfg["pages_path"]
+    n_pages = args.n if args.n is not None else int(cfg["n_pages"])
+    out_dir = args.out if args.out is not None else cfg["out_dir"]
+    n_buckets = args.buckets if args.buckets is not None else int(cfg["n_buckets"])
+
     spark = get_spark(app_name="x5-kg-pipeline")
-    pages = spark.read.parquet(args.pages) if args.pages else pages_df(spark, args.n)
-    out = run_pipeline(spark, pages, out_root=args.out, n_buckets=args.buckets)
+    lex = None
+    if cfg.get("brand_lexicon_path"):
+        from ..sources.lexicon import read_lexicon_set
+
+        lex = sorted(read_lexicon_set(spark, cfg["brand_lexicon_path"]))
+    pages = spark.read.parquet(pages_path) if pages_path else pages_df(spark, n_pages)
+    out = run_pipeline(
+        spark, pages, out_root=out_dir, brand_lexicon=lex,
+        n_buckets=n_buckets, run_id=str(cfg["run_id"]),
+    )
     print({k: v.count() for k, v in out.items()})
 
 
