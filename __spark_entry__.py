@@ -411,6 +411,39 @@ def q_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup end to end: Jaccard candidate pairs → connected
+    components → canonical keeper (max n_chars, tie min id) → drop list."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, k=3, threshold=0.5)
+    return dedup.near_dup_clusters(docs, pairs)
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus, with deterministic synthetic PII
+    appended per doc (the clean fixture corpus contains none) so every
+    pattern is exercised; emits per-category counts + md5 of the scrubbed
+    text (full replacement parity, not just counts)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://site"), F.col("doc_id").cast("string"),
+            F.lit(".example/p?x=1 ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +7 915 12"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-77"),
+        ).alias("text"),
+    )
+    scrubbed = text_stats.scrub_pii(aug)
+    return scrubbed.select(
+        "doc_id", "n_url", "n_email", "n_ipv4", "n_phone",
+        F.md5("scrubbed").alias("scrub_fp"),
+    )
+
+
 def q_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 proper: per-word decision log (token, BIO label, cascade reason,
     probabilities, feature flags) over a deterministic document subset, with
@@ -485,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "json_props": q_json_props,
         "decision_log": q_decision_log,
+        "near_dup_clusters": q_near_dup_clusters,
+        "scrub_pii": q_scrub_pii,
         "sort_limit": q_sort_limit,
         "group_sizes": q_group_sizes,
         "summary_stats": q_summary_stats,
@@ -842,8 +877,7 @@ def oracle_sql() -> dict[str, str]:
         FROM fp
     """
 
-    sql["jaccard_pairs"] = f"""
-        WITH toks AS (
+    jacc_ctes = """toks AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
           FROM documents),
         sh AS (
@@ -854,13 +888,41 @@ def oracle_sql() -> dict[str, str]:
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-        SELECT id_a, id_b,
-               ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+                  GROUP BY 1, 2),
+        jp AS (
+          SELECT id_a, id_b,
+                 CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jacc
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b)"""
+
+    sql["jaccard_pairs"] = f"""
+        WITH {jacc_ctes}
+        SELECT id_a, id_b, ROUND(jacc, 4) AS jaccard FROM jp WHERE jacc >= 0.5
+    """
+
+    sql["near_dup_clusters"] = f"""
+        WITH RECURSIVE {jacc_ctes},
+        pairs AS (SELECT id_a, id_b FROM jp WHERE jacc >= 0.5),
+        und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        nds AS (SELECT DISTINCT a AS node FROM und),
+        reach AS (
+          SELECT node, node AS r FROM nds
+          UNION
+          SELECT u.b AS node, reach.r FROM reach JOIN und u ON u.a = reach.node),
+        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        withq AS (
+          SELECT c.node, c.cluster_id, d.n_chars
+          FROM comp c JOIN documents d ON d.doc_id = c.node),
+        keep AS (
+          SELECT cluster_id, node AS keep_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                         ORDER BY n_chars DESC, node ASC) AS rn
+            FROM withq) WHERE rn = 1)
+        SELECT w.node AS doc_id, w.cluster_id, k.keep_id,
+               w.node <> k.keep_id AS dropped
+        FROM withq w JOIN keep k USING (cluster_id)
     """
 
     mh_cols = ", ".join(
@@ -951,6 +1013,33 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["decision_log"] = _decision_log_sql(200)
+
+    from x5_ner_spark.operators.text_stats import PII_PATTERNS
+
+    pii_ctes = ["""aug AS (
+          SELECT doc_id,
+                 text || ' reach user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or https://site' || CAST(doc_id AS VARCHAR)
+                      || '.example/p?x=1 ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7 tel +7 915 12' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                      || '-77' AS s0
+          FROM documents WHERE doc_id < 300)"""]
+    counts = [f"n_{name}" for name, _, _ in PII_PATTERNS]
+    # sequential scrub chain: p0 reads aug, p{i} reads p{i-1}; each stage
+    # counts on the PRE-replacement text of ITS stage (same order as
+    # text_stats.scrub_pii's fold)
+    pii_ctes = [pii_ctes[0]] + [
+        f"p{i} AS (SELECT *, len(regexp_extract_all(s{i}, '{pat}')) AS n_{name}, "
+        f"regexp_replace(s{i}, '{pat}', '{repl}', 'g') AS s{i+1} "
+        f"FROM {'aug' if i == 0 else f'p{i-1}'})"
+        for i, (name, pat, repl) in enumerate(PII_PATTERNS)
+    ]
+    sql["scrub_pii"] = f"""
+        WITH {', '.join(pii_ctes)}
+        SELECT doc_id, {', '.join(counts)},
+               md5(s{len(PII_PATTERNS)}) AS scrub_fp
+        FROM p{len(PII_PATTERNS) - 1}
+    """
 
     ivf_cell_cos = _cos_sql("e.embedding", "c.cv", 6)
     ivf_cos = _cos_sql("q.qv", "n.nv", 4)

@@ -165,3 +165,41 @@ def test_write_stage_crash_resume(spark, tmp_path):
     written = graph.write_stage(df, root, "s", key="k", n_buckets=2)
     assert written == [0]
     assert graph.read_stage(spark, root, "s").count() == n0  # no dupes
+
+
+def test_near_dup_clusters_keeper_policy(spark):
+    from x5_ner_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50), (9, 10)],
+        "doc_id long, n_chars int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 9)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in dedup.near_dup_clusters(docs, pairs).collect()}
+    # cluster {1,2,3}: keeper = max n_chars (tie 2 vs 3 -> smaller id 2)
+    assert out[1]["keep_id"] == 2 and out[1]["dropped"]
+    assert out[2]["keep_id"] == 2 and not out[2]["dropped"]
+    assert out[3]["cluster_id"] == out[1]["cluster_id"] and out[3]["dropped"]
+    # cluster {4,9}: keeper 4 (n_chars 50 > 10)
+    assert out[4]["keep_id"] == 4 and not out[4]["dropped"] and out[9]["dropped"]
+
+
+def test_scrub_pii_patterns(spark):
+    from x5_ner_spark.operators import text_stats
+
+    rows = [
+        (1, "mail me at bob.smith+x@corp.example.org now"),
+        (2, "see https://a.example/path?q=1&r=2 and http://b.example"),
+        (3, "server 192.168.001.5 and phone +7 (915) 123-45-67 ok"),
+        (4, "no pii here, just 3.14 and v2.0 and a@b"),  # a@b: TLD too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_stats.scrub_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["scrubbed"]
+    assert out[2]["n_url"] == 2 and out[2]["scrubbed"].count("<URL>") == 2
+    assert out[3]["n_ipv4"] == 1 and out[3]["n_phone"] == 1
+    assert "<IP>" in out[3]["scrubbed"] and "<PHONE>" in out[3]["scrubbed"]
+    assert out[4]["n_url"] == out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_phone"] == 0
+    assert out[4]["scrubbed"] == rows[3][1]

@@ -162,6 +162,40 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return packed
 
 
+def near_dup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """The end-to-end corpus-dedup shape: candidate PAIRS (from jaccard_pairs
+    / minhash / embedding_near_dups) → connected components (large-star/
+    small-star, O(log n) rounds) → ONE canonical keeper per cluster (highest
+    ``quality_col``, ties → smallest id) → (doc_id, cluster_id, keep_id,
+    dropped). At 100 TB this is the stage that turns pairwise similarity
+    into an actual drop list; the CC rounds shuffle only the edge list and
+    the keeper pick is a single max_by aggregate (no window over the corpus)."""
+    from ..pipeline.canonicalize import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)  # (node, component)
+    q = docs.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(quality_col).cast("double").alias("q"),
+    )
+    withq = comp.join(q, "node")
+    keep = withq.groupBy("component").agg(
+        F.max_by("node", F.struct(F.col("q"), -F.col("node"))).alias("keep_id")
+    )
+    return (
+        withq.join(keep, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "keep_id",
+            (F.col("node") != F.col("keep_id")).alias("dropped"),
+        )
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95, n_bands: int = 8,
     band_size: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",

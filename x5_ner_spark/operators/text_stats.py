@@ -96,3 +96,27 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(normed).alias("fingerprint"),
         (portable_hash32(normed) % 1024).alias("fp_bucket"),
     )
+
+
+# PII scrubbing (training-data hygiene): ordered patterns, each valid in BOTH
+# Java regex (Spark) and RE2 (DuckDB) — no lookarounds, no backrefs. Order
+# matters (URLs can contain '@'; scrub them before emails).
+PII_PATTERNS = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace URLs / emails / IPv4s / intl phone numbers with typed
+    placeholders; emit per-category counts and the scrubbed text. Map-only
+    native regexp work — at 100 TB this runs inside the scan's codegen stage,
+    no shuffle, and the counts aggregate map-side."""
+    out = docs
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(scrubbed, F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn("scrubbed", scrubbed)
