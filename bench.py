@@ -30,6 +30,9 @@ HEADLINE = [
     "kg_mentions_by_pred", "tpch_q1", "join_agg", "token_topk", "fuzzy_join",
     "sessionize", "prf_eval", "jaccard_pairs", "minhash_buckets", "simhash",
     "cosine_topk", "components", "lang_id", "quality", "fingerprints",
+    # round 2 additions (headline grew — totals are not comparable to
+    # BENCH_r01 without subtracting these)
+    "near_dup_clusters", "scrub_pii", "decision_log",
 ]
 PIPELINE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 

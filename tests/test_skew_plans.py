@@ -164,3 +164,32 @@ def test_zip_join_scalable_matches_global(spark, sf_dir):
     plain = sorted(tuple(r) for r in W.zip_join(a, b, ["text", "doc_id"], "text").collect())
     scal = sorted(tuple(r) for r in W.zip_join_scalable(a, b, ["text", "doc_id"], "text", num_partitions=7).collect())
     assert plain == scal and len(plain) > 0
+
+
+def test_map_only_operators_have_no_exchange(spark, sf_dir):
+    """scrub_pii and decision_log are pure map work: any Exchange in their
+    plans is a regression (at 100 TB these run inside the scan stage)."""
+    import __spark_entry__ as m
+
+    for name in ("scrub_pii", "decision_log"):
+        plan = m.queries()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, name
+
+
+def test_ivf_refined_recall_not_worse(spark, sf_dir):
+    """One Lloyd iteration must keep cells valid and recall at least as good
+    as the raw seeded sample on the fixture (typically better balance)."""
+    from x5_ner_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in similarity.brute_force_topk(emb, q, k=3).collect()}
+    raw = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_topk(emb, q, k=3, n_probe=4).collect()}
+    ref = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_topk(emb, q, k=3, n_probe=4, refine_iters=1).collect()}
+    assert len(ref) == 15
+    assert len(bf & ref) >= len(bf & raw) - 1  # allow one-swap jitter, no collapse
+    # determinism of the refined quantizer
+    cents0 = similarity.ivf_centroids(emb)
+    c1 = similarity.ivf_refine_centroids(emb, cents0, 1)
+    c2 = similarity.ivf_refine_centroids(emb, cents0, 1)
+    assert c1 == c2
