@@ -105,3 +105,19 @@ def test_iceberg_catalog_detection(spark):
 
     # sandbox has no Iceberg jars/catalog: parquet layout must be selected
     assert iceberg_catalog(spark) is None
+
+
+def test_csv_separator_sniffing(spark, tmp_path):
+    from x5_ner_spark.sources.csv_semicolon import read_any_csv, sniff_separator
+
+    cases = {";": "a;b\n1;x\n2;y\n", "\t": "a\tb\n1\tx\n2\ty\n", ",": "a,b\n1,x\n2,y\n"}
+    for sep, content in cases.items():
+        p = tmp_path / f"f{ord(sep)}.csv"
+        p.write_text(content)
+        assert sniff_separator(spark, str(p)) == sep
+        df = read_any_csv(spark, str(p))
+        assert df.columns == ["a", "b"] and df.count() == 2
+    # separator inside data doesn't confuse the consistent-minimum rule
+    p = tmp_path / "mixed.csv"
+    p.write_text("a;b\n1;x,y,z\n2;u\n")
+    assert sniff_separator(spark, str(p)) == ";"

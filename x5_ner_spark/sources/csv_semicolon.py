@@ -48,3 +48,30 @@ def write_submission(df: DataFrame, path: str, spans_col: str = "spans") -> None
     out.coalesce(1).write.mode("overwrite").option("sep", ";").option(
         "header", True
     ).csv(path)
+
+
+def sniff_separator(
+    spark: SparkSession, path: str, candidates: tuple[str, ...] = (";", "\t", ","),
+) -> str:
+    """S2 robust-scan separator detection (ref scripts/make_submission.py:12-23,
+    scripts/split_train_val.py:10-18). The reference tries ';','\\t',',' and
+    accepts the first parse with ≥1 column — which a WRONG separator also
+    satisfies (a comma file parsed with ';' is one wide column), so its loop
+    effectively always returns the ';' parse unless pandas raises. Deviation
+    (documented): we pick the candidate with the highest CONSISTENT per-line
+    occurrence over a 10-line sample, tie-broken by the reference's
+    preference order — same intent, actually discriminating. Driver-side
+    head sample only; the full scan stays one distributed CSV read."""
+    head = [r[0] for r in spark.read.text(path).limit(10).collect() if r[0].strip()]
+    best, best_n = candidates[0], 0
+    for sep in candidates:
+        n = min((ln.count(sep) for ln in head), default=0)
+        if n > best_n:
+            best, best_n = sep, n
+    return best
+
+
+def read_any_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Sniff the separator, then one ordinary distributed CSV scan."""
+    sep = sniff_separator(spark, path)
+    return spark.read.option("sep", sep).option("header", True).csv(path)
