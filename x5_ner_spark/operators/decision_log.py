@@ -71,3 +71,34 @@ def decision_log(
         F.col(text_col).alias("_log_text"),
     )
     return keyed.mapInPandas(gen, LOG_SCHEMA)
+
+
+def write_decision_log_csv(log: DataFrame, path: str, error_col: str | None = None) -> None:
+    """Write the log as the reference's ;-CSV artifact
+    (make_submission_from_val.py:85-107: 17 data columns incl. 'error', plus
+    a leading positional index from pandas' to_csv(index=True) — replicated
+    here as a monotonically-ordered row number; bools/floats serialized to
+    the reference's literal forms)."""
+    from pyspark.sql import Window, functions as F
+
+    cols = [
+        "text", "token_text", "start", "end", "label", "reason", "p_brand",
+        "p_type", "in_lex", "fuzzy_hit", "pure_lat", "short_lat", "has_vowel",
+        "p_brand_sum", "p_type_sum", "p_o", "error",
+    ]
+    df = log
+    if "text" not in df.columns:
+        df = df.withColumn("text", F.col("doc_id").cast("string"))
+    if "error" not in df.columns:
+        df = df.withColumn(
+            "error", F.col(error_col).cast("string") if error_col else F.lit("0")
+        )
+    for b in ("in_lex", "fuzzy_hit", "pure_lat", "short_lat", "has_vowel"):
+        df = df.withColumn(b, F.when(F.col(b), "True").otherwise("False"))
+    for p in ("p_brand", "p_type", "p_brand_sum", "p_type_sum", "p_o"):
+        df = df.withColumn(p, F.format_number(F.col(p).cast("double"), 3))
+    w = Window.orderBy("text", "start", "end")
+    out = df.withColumn("", F.row_number().over(w) - 1).select("", *cols)
+    out.coalesce(1).write.mode("overwrite").option("sep", ";").option(
+        "header", True
+    ).csv(path)
