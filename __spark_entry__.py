@@ -455,6 +455,27 @@ def q_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decision_log_op.decision_log(docs)
 
 
+# lexicon for the in_lex/fuzzy decision-log gate: entry lengths are chosen so
+# every WRatio comparison against ≤8-char corpus tokens reduces to exact SQL
+# (see _decision_log_sql), and lev-reachable pairs agree between char-level
+# Python and byte-level DuckDB levenshtein ('барни'/'барна' differ in 1 byte)
+DL_LEX = ["spars", "table", "барни", "sparkdataquery"]
+DL_SUFFIX = " молоко барни барна творог"
+
+
+def q_decision_log_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision log WITH a brand lexicon: gates the in_lex exact check, the
+    WRatio≥90 path (substring / near-equal algebra), the Levenshtein
+    fallback, and the lex-conditioned cascade branches. Texts get a
+    deterministic Cyrillic suffix so sub-ladder tokens actually reach the
+    lexicon branches (the Latin corpus always triggers the confidence
+    ladder first)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", F.concat(F.col("text"), F.lit(DL_SUFFIX)).alias("text")
+    )
+    return decision_log_op.decision_log(docs, frozenset(DL_LEX))
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured decode: parse events.props JSON, aggregate per type
     (get_json_object → JVM-side JSON path, no UDF)."""
@@ -520,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision_log": q_decision_log,
         "near_dup_clusters": q_near_dup_clusters,
         "scrub_pii": q_scrub_pii,
+        "decision_log_lex": q_decision_log_lex,
         "sort_limit": q_sort_limit,
         "group_sizes": q_group_sizes,
         "summary_stats": q_summary_stats,
@@ -546,14 +568,27 @@ def _cos_sql(a: str, b: str, digits: int) -> str:
     return (f"ROUND({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), {digits})")
 
 
-def _decision_log_sql(n_docs: int = 200) -> str:
-    """DuckDB replica of the FULL decision-log pipeline (empty lexicon):
-    WORD_RE tokenization with char offsets (runs of [\\p{L}\\p{N}-] trimmed to
-    the first letter), the stub model (md5 → 64-bit LCG → scaled noise +
-    heuristic biases → softmax), the cascade ladder/guards with the pinned
-    short-word break, BIO continuity via lag. Float-sensitive constants
-    (t*1.3) are precomputed in Python and inlined as double literals so both
-    engines compare against bit-identical thresholds."""
+def _decision_log_sql(
+    n_docs: int = 200, lexicon: "list[str] | None" = None, suffix: str = "",
+) -> str:
+    """DuckDB replica of the FULL decision-log pipeline: WORD_RE tokenization
+    with char offsets (runs of [\\p{L}\\p{N}-] trimmed to the first letter),
+    the stub model (md5 → 64-bit LCG → scaled noise + heuristic biases →
+    softmax), the cascade ladder/guards with the pinned short-word break, BIO
+    continuity via lag. Float-sensitive constants (t*1.3, 0.55+0.10) are
+    precomputed in Python and inlined as double literals so both engines
+    compare against bit-identical thresholds.
+
+    With ``lexicon`` the in_lex / fuzzy path is replayed too: in_lex is exact
+    lex-norm equality; WRatio≥90 reduces per pair to EXACT SQL because every
+    entry is either ≥13 chars (len_ratio ≥1.5 vs ≤8-char corpus tokens →
+    hit ⟺ substring containment at scale 0.9) or ≤6 chars (len_ratio <1.5 →
+    ratio ≥90 over summed length <20 ⟺ equal, or |Δlen|=1 ∧ lev=1 ∧ Σlen≥10
+    — indel=1 ⟺ lev=1 when lengths differ by 1); the Levenshtein fallback
+    maps to DuckDB levenshtein() (byte-based, so lev-reachable entries must
+    be ASCII or differ in exactly one byte — asserted by the chosen lexicon).
+    ``suffix`` is appended to every text (both engines) to plant tokens that
+    exercise the lexicon branches."""
     from x5_ner_spark.core.cascade import STOPWORDS, TYPE_HINTS
 
     hints = ", ".join(f"'{w}'" for w in sorted(TYPE_HINTS))
@@ -597,6 +632,30 @@ def _decision_log_sql(n_docs: int = 200) -> str:
     z = " + ".join(f"e{i}" for i in range(9))
     ps = ", ".join(f"e{i} / ({z}) AS p{i}" for i in range(9))
 
+    if lexicon:
+        in_lex_sql = "tok_lex IN (" + ", ".join(f"'{c}'" for c in sorted(lexicon)) + ")"
+        wr_terms, lev_terms = [], []
+        for c in sorted(lexicon):
+            lc = len(c)
+            lr = f"(GREATEST(length(tok_lex), {lc}) * 1.0 / LEAST(length(tok_lex), {lc}))"
+            contains = (f"(CASE WHEN length(tok_lex) <= {lc} "
+                        f"THEN position(tok_lex IN '{c}') ELSE position('{c}' IN tok_lex) END) > 0")
+            wr_terms.append(
+                f"(CASE WHEN {lr} >= 1.5 THEN ({lr} < 8 AND {contains}) "
+                f"ELSE (tok_lex = '{c}' OR (abs(length(tok_lex) - {lc}) = 1 "
+                f"AND levenshtein(tok_lex, '{c}') = 1 AND length(tok_lex) + {lc} >= 10)) END)"
+            )
+            lev_terms.append(
+                f"(abs(length(tok_lex) - {lc}) <= max_d AND levenshtein(tok_lex, '{c}') <= max_d)"
+            )
+        fuzzy_sql = (
+            f"(NOT ({in_lex_sql})) AND ("
+            f"(length(tok_lex) >= 3 AND (" + " OR ".join(wr_terms) + ")) OR ("
+            + " OR ".join(lev_terms) + "))"
+        )
+    else:
+        in_lex_sql, fuzzy_sql = "FALSE", "FALSE"
+
     ladder = []
     for t in (0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6, 0.55):
         ts = repr(t * 1.3)  # Python double product, inlined bit-exactly
@@ -604,9 +663,10 @@ def _decision_log_sql(n_docs: int = 200) -> str:
         ladder.append(f"WHEN p_type_sum >= {ts} OR p_type > {t} THEN 'strong_type_{t}'")
         ladder.append(f"WHEN p_o >= {t} THEN 'strong_o_{t}'")
     ladder_sql = "\n            ".join(ladder)
+    et_plus = repr(0.55 + 0.10)  # entity_thresh + 0.10, Python double sum
 
     return f"""
-        WITH d AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id < {n_docs}),
+        WITH d AS MATERIALIZED (SELECT doc_id, text || '{suffix}' AS text FROM documents WHERE doc_id < {n_docs}),
         pieces AS MATERIALIZED (
           SELECT doc_id,
                  unnest(regexp_split_to_array(text, '[^\\p{{L}}\\p{{N}}-]')) AS piece,
@@ -627,6 +687,8 @@ def _decision_log_sql(n_docs: int = 200) -> str:
           FROM toks0 WHERE substr(piece, CAST(lead_len + 1 AS INT)) <> ''),
         nt AS MATERIALIZED (
           SELECT *, regexp_replace(lower(tok), '[^0-9a-zа-яё]+', '', 'g') AS norm,
+                 regexp_replace(replace(lower(trim(tok)), 'ё', 'е'),
+                                '[^0-9a-zа-я]+', '', 'g') AS tok_lex,
                  wid > 0 AS cont
           FROM toks),
         st0 AS MATERIALIZED (
@@ -654,8 +716,11 @@ def _decision_log_sql(n_docs: int = 200) -> str:
                  regexp_full_match(norm, '[A-Za-z]+') AND length(norm) <= 2 AS short_lat,
                  regexp_matches(norm, '[AEIOUYaeiouy]') AS has_vowel,
                  norm IN ({hints}) AND NOT norm IN ({stops})
-                   AND NOT regexp_full_match(norm, '[0-9]+') AS looks_type
-          FROM pp),
+                   AND NOT regexp_full_match(norm, '[0-9]+') AS looks_type,
+                 in_lex, fuzzy_hit
+          FROM (SELECT *, ({in_lex_sql}) AS in_lex, ({fuzzy_sql}) AS fuzzy_hit
+                FROM (SELECT *, CASE WHEN length(tok_lex) <= 6 THEN 1 ELSE 2 END AS max_d
+                      FROM pp))),
         brk AS MATERIALIZED (
           SELECT f.* FROM feats f
           LEFT JOIN (SELECT doc_id, MIN(wid) AS brk_wid FROM feats
@@ -665,18 +730,25 @@ def _decision_log_sql(n_docs: int = 200) -> str:
         decided AS MATERIALIZED (
           SELECT *, CASE
             {ladder_sql}
-            WHEN short_lat THEN 'short_lat_no_lex'
+            WHEN short_lat AND NOT in_lex AND NOT fuzzy_hit THEN 'short_lat_no_lex'
+            WHEN looks_type AND (in_lex OR fuzzy_hit)
+              AND p_brand >= GREATEST(CAST(0.8 AS DOUBLE), p_type + CAST(0.2 AS DOUBLE), {et_plus})
+              THEN 'brand_over_type_very_strong'
             WHEN looks_type AND p_type >= GREATEST(CAST(0.55 AS DOUBLE), p_brand + CAST(0.07 AS DOUBLE)) THEN 'clear_type'
             WHEN looks_type THEN 'looks_type_guard'
+            WHEN (in_lex OR fuzzy_hit) AND p_type >= GREATEST(CAST(0.55 AS DOUBLE), p_brand + CAST(0.07 AS DOUBLE)) THEN 'type_over_lex'
+            WHEN (in_lex OR fuzzy_hit) AND p_brand >= CAST(0.2 AS DOUBLE) AND p_brand >= p_type - CAST(0.05 AS DOUBLE) THEN 'lex_or_fuzzy_brand'
+            WHEN (in_lex OR fuzzy_hit) THEN 'lex_conf_too_low'
             WHEN p_type >= GREATEST(CAST(0.55 AS DOUBLE), p_brand + CAST(0.07 AS DOUBLE)) THEN 'clear_type'
             WHEN p_brand >= GREATEST(CAST(0.8 AS DOUBLE), p_type + CAST(0.1 AS DOUBLE)) THEN 'clear_brand'
             ELSE 'fallback' END AS reason
           FROM brk),
         based AS MATERIALIZED (
           SELECT *, CASE
-            WHEN reason LIKE 'strong_brand%' OR reason = 'clear_brand' THEN 'BRAND'
-            WHEN reason LIKE 'strong_type%' OR reason = 'clear_type' THEN 'TYPE'
-            WHEN reason IN ('looks_type_guard', 'fallback')
+            WHEN reason LIKE 'strong_brand%' OR reason IN
+              ('clear_brand', 'brand_over_type_very_strong', 'lex_or_fuzzy_brand') THEN 'BRAND'
+            WHEN reason LIKE 'strong_type%' OR reason IN ('clear_type', 'type_over_lex') THEN 'TYPE'
+            WHEN reason IN ('looks_type_guard', 'fallback', 'lex_conf_too_low')
               THEN (CASE WHEN p_type >= CAST(0.15 AS DOUBLE) THEN 'TYPE' ELSE 'O' END)
             ELSE 'O' END AS base
           FROM decided),
@@ -688,7 +760,7 @@ def _decision_log_sql(n_docs: int = 200) -> str:
           FROM based)
         SELECT doc_id, tok AS token_text, start, "end", label, reason,
                ROUND(p_brand, 3) AS p_brand, ROUND(p_type, 3) AS p_type,
-               FALSE AS in_lex, FALSE AS fuzzy_hit, pure_lat, short_lat, has_vowel,
+               in_lex, fuzzy_hit, pure_lat, short_lat, has_vowel,
                ROUND(p_brand_sum, 3) AS p_brand_sum,
                ROUND(p_type_sum, 3) AS p_type_sum, ROUND(p_o, 3) AS p_o
         FROM labeled
@@ -1013,6 +1085,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["decision_log"] = _decision_log_sql(200)
+    sql["decision_log_lex"] = _decision_log_sql(150, lexicon=DL_LEX, suffix=DL_SUFFIX)
 
     from x5_ner_spark.operators.text_stats import PII_PATTERNS
 
