@@ -71,16 +71,20 @@ def final_mention_spans_batch(
     list per text (S8 decision log, ref infer.py:411-413) from the same
     cascade run — empty/blank texts get an empty list."""
     words_per_text: list[list[tuple[int, int]] | None] = []
+    toks_per_text: list[list[tuple[str, int, int]] | None] = []
     keys_per_text: list[list[tuple[str, bool]] | None] = []
     keys: list[tuple[str, bool]] = []
     for t in texts:
         if not t or not t.strip():
             words_per_text.append(None)
+            toks_per_text.append(None)
             keys_per_text.append(None)
             continue
-        words = [(s, e) for _, s, e in tokenize_with_offsets(t)]
+        toks = tokenize_with_offsets(t)
+        words = [(s, e) for _, s, e in toks]
         tkeys = [(norm_token_simple(t[s:e]), i > 0) for i, (s, e) in enumerate(words)]
         words_per_text.append(words)
+        toks_per_text.append(toks)
         keys_per_text.append(tkeys)
         keys.extend(tkeys)
 
@@ -104,7 +108,7 @@ def final_mention_spans_batch(
 
     lex_list = brand_lexicon_list if brand_lexicon_list is not None else sorted(brand_lexicon)
     out: list[list[Span]] = []
-    for t, words, tkeys in zip(texts, words_per_text, keys_per_text):
+    for t, words, toks, tkeys in zip(texts, words_per_text, toks_per_text, keys_per_text):
         if words is None:
             out.append([])
             if logs is not None:
@@ -115,7 +119,9 @@ def final_mention_spans_batch(
         raw = decide_word_labels(t, words, probs, brand_lexicon, lex_list, log=log)
         if logs is not None:
             logs.append(log)
-        out.append(postprocess(t, raw) if raw else [])
+        # tokens threaded through: the batch working set dwarfs the tokenize
+        # LRU, so letting postprocess re-tokenize would miss every time
+        out.append(postprocess(t, raw, tokens=toks) if raw else [])
     return out
 
 

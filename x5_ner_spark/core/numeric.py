@@ -286,12 +286,18 @@ def _split_multipack(text: str, spans: list[Span]) -> list[Span]:
     return out
 
 
-def numeric_spans(text: str, fatty_words: frozenset[str] = FATTY_WORDS) -> list[Span]:
+def numeric_spans(
+    text: str, fatty_words: frozenset[str] = FATTY_WORDS,
+    tokens: list[tuple[str, int, int]] | None = None,
+) -> list[Span]:
     """The full numeric preprocessor (ref ``preprocess_query``,
     improved_preprocessing.py:401-418). Tokenization and the shared regex
     scans run once per text and feed both passes (identical output; the
-    reference recomputes them)."""
-    tokens = tokenize_with_offsets(text)
+    reference recomputes them). Callers that already tokenized (the batch
+    mention kernel) pass ``tokens`` to skip the re-scan — the per-worker
+    LRU thrashes when an Arrow batch is larger than its capacity."""
+    if tokens is None:
+        tokens = tokenize_with_offsets(text)
     shared = _shared_regex_spans(text)
     merged = collapse_overlaps(
         sorted(
