@@ -67,3 +67,36 @@ def test_normalize_differential():
     for t in TOKENS:
         assert normalize_token(t) == ref_imp.normalize_token(t), t
         assert edit_distance(t, "молоко") == ref_imp.edit_distance(t, "молоко"), t
+
+
+def test_wratio_vectors_and_fastpath_equivalence():
+    """Hand-computed rapidfuzz WRatio vectors + lexicon fast-path algebra
+    equivalence against the plain per-entry scan (random corpus)."""
+    import random
+
+    from x5_ner_spark.core.textnorm import (
+        fuzz_partial_ratio,
+        fuzz_ratio,
+        fuzz_wratio,
+        wratio_lexicon_hit,
+    )
+
+    assert fuzz_wratio("abcd", "abcd") == 100.0
+    assert abs(fuzz_ratio("abcd", "abce") - 75.0) < 1e-9
+    assert abs(fuzz_wratio("молоко", "молок") - (1 - 1 / 11) * 100) < 1e-9
+    # substring needle at len_ratio >= 1.5: partial=100 scaled by 0.9
+    assert abs(fuzz_wratio("abc", "zzzzabczzzz") - 90.0) < 1e-9
+    # rapidfuzz window-set quirk: mid-string windows SHORTER than the needle
+    # are not searched - 66.67, not 80
+    assert abs(fuzz_partial_ratio("abc", "xxabxx") - (1 - 2 / 6) * 100) < 1e-9
+    assert wratio_lexicon_hit("santa", frozenset(["zzsantazz"]))
+    assert not wratio_lexicon_hit("qqqq", frozenset(["prostokvashino", "santa"]))
+
+    rng = random.Random(7)
+    words = ["".join(rng.choice("abcdefgh") for _ in range(rng.randint(2, 12)))
+             for _ in range(300)]
+    lex = frozenset(words[:40])
+    for w in words:
+        fast = wratio_lexicon_hit(w, lex)
+        slow = any(fuzz_wratio(w, c) >= 90.0 for c in lex)
+        assert fast == slow, (w, fast, slow)

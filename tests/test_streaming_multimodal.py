@@ -172,3 +172,32 @@ def test_stateful_update_timeout_eviction():
     out2 = list(stateful._update(("d",), iter([pdf]), st2))
     assert st2.updated == (3, 9) and st2.timeout_ms == stateful.IDLE_TIMEOUT_MS
     assert out2[0].iloc[0]["n_mentions"] == 9
+
+
+def test_stream_decision_log_matches_batch(spark, tmp_path):
+    """Streaming decision log ≡ batch decision log over the same pages."""
+    from pyspark.sql import functions as F
+
+    from x5_ner_spark.functions.columns import portable_hash32
+    from x5_ner_spark.operators.decision_log import decision_log
+    from x5_ner_spark.pipeline import extract
+    from x5_ner_spark.pipeline.fixtures import pages_df
+    from x5_ner_spark.streaming import stream_pipeline as sp
+
+    pages = pages_df(spark, 60, sentences=2)
+    pdir = str(tmp_path / "pages")
+    pages.write.parquet(pdir)
+
+    batch_docs = extract.run(spark.read.parquet(pdir)).select(
+        portable_hash32(F.col("url")).alias("doc_id"), "text"
+    )
+    want = sorted(tuple(r) for r in decision_log(batch_docs).collect())
+
+    out = sp.stream_decision_log(sp.stream_pages(spark, pdir))
+    q = (
+        out.writeStream.format("memory").queryName("dlog_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM dlog_stream").collect())
+    assert got == want and len(got) > 0

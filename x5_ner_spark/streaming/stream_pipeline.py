@@ -79,3 +79,17 @@ def run_stream_to_memory(
     )
     q.awaitTermination(timeout_s)
     return spark.table(table_name)
+
+
+def stream_decision_log(
+    pages_stream: DataFrame, brand_lexicon=frozenset()
+) -> DataFrame:
+    """pages stream → per-word decision-log stream: S8 as a LIVE debugging
+    surface. decision_log is map-only mapInPandas (no state, no aggregation),
+    so it composes onto any trigger; doc ids derive from the url hash."""
+    from ..functions.columns import portable_hash32
+    from ..operators.decision_log import decision_log
+
+    docs = extract.run(pages_stream)
+    keyed = docs.select(portable_hash32(F.col("url")).alias("doc_id"), "text")
+    return decision_log(keyed, brand_lexicon)
