@@ -77,3 +77,48 @@ def test_crf_mention_path_end_to_end():
     assert all(isinstance(s, tuple) and len(s) == 3 for s in a[0])
     # deterministic across calls
     assert a == crf_mention_spans_batch(texts)
+
+
+def test_distributed_mle_matches_core(spark):
+    """fit_crf_transitions (one Spark aggregation) ≡ core mle_crf_params."""
+    import random
+
+    from x5_ner_spark.core.crf import mle_crf_params
+    from x5_ner_spark.operators.crf_train import fit_crf_transitions
+
+    rng = random.Random(13)
+    seqs = [[rng.randrange(9) for _ in range(rng.randint(1, 10))] for _ in range(200)]
+    want = mle_crf_params(seqs)
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)],
+                               "doc_id long, tags array<int>")
+    got = fit_crf_transitions(df)
+    for g, w in zip(got, want):
+        assert np.allclose(g, w), (g, w)
+
+
+def test_mle_transitions_recover_planted_structure():
+    """Sequences generated under a known bigram law: the MLE transitions must
+    rank the planted successor highest, and Viterbi with them must beat
+    uniform transitions on noisy emissions."""
+    import random
+
+    from x5_ner_spark.core.crf import mle_crf_params, viterbi_decode
+
+    rng = random.Random(5)
+    # planted law: tag (i+1) % 4 follows tag i 80% of the time (4 labels)
+    seqs = []
+    for _ in range(400):
+        cur = rng.randrange(4)
+        seq = [cur]
+        for _ in range(rng.randint(3, 8)):
+            cur = (cur + 1) % 4 if rng.random() < 0.8 else rng.randrange(4)
+            seq.append(cur)
+        seqs.append(seq)
+    start, trans, end = mle_crf_params(seqs, num_labels=4)
+    for i in range(4):
+        assert trans[i].argmax() == (i + 1) % 4
+    # decode with weak emissions follows the planted cycle
+    em = np.zeros((6, 4))
+    em[0, 2] = 3.0  # anchor the first tag
+    path = viterbi_decode(em, start, trans, end)
+    assert path[0] == 2 and path[1] == 3 and path[2] == 0

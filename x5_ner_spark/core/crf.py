@@ -44,6 +44,34 @@ def stub_crf_params(num_labels: int = len(BIO_TAGS)):
     return start, trans, end
 
 
+def mle_crf_params(
+    tag_sequences: "list[list[int]]", num_labels: int = len(BIO_TAGS),
+    smoothing: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """N4-adjacent: estimate (start, trans, end) as log-probabilities from
+    labeled tag sequences — add-k-smoothed bigram MLE, the closed-form
+    transition estimator an HMM/CRF decode consumes. This is deliberately
+    NOT gradient CRF training (the reference trains torch CRF NLL end to end
+    with the encoder, train.py:52-62 — out of engine scope per SURVEY §2.11);
+    it is the distributed-friendly piece: the counts come from one groupBy
+    over (prev_tag, tag) pairs (operators/crf_train.py), and the result plugs
+    into viterbi_decode unchanged."""
+    start_c = np.full(num_labels, smoothing)
+    end_c = np.full(num_labels, smoothing)
+    trans_c = np.full((num_labels, num_labels), smoothing)
+    for seq in tag_sequences:
+        if not seq:
+            continue
+        start_c[seq[0]] += 1
+        end_c[seq[-1]] += 1
+        for a, b in zip(seq, seq[1:]):
+            trans_c[a, b] += 1
+    start = np.log(start_c / start_c.sum())
+    end = np.log(end_c / end_c.sum())
+    trans = np.log(trans_c / trans_c.sum(axis=1, keepdims=True))
+    return start, trans, end
+
+
 def viterbi_decode(emissions: np.ndarray, start: np.ndarray, trans: np.ndarray,
                    end: np.ndarray) -> list[int]:
     """Single sequence (T, C) → best label path (list of T ids)."""
