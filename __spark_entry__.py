@@ -476,6 +476,13 @@ def q_decision_log_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decision_log_op.decision_log(docs, frozenset(DL_LEX))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-5-iteration PageRank over the user adjacency graph — the KG
+    analytics op downstream consumers run on the materialized edge tables."""
+    ev = _t(spark, sf_dir, "events")
+    return graph_ops.pagerank(graph_ops.user_adjacency_edges(ev), iters=5)
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured decode: parse events.props JSON, aggregate per type
     (get_json_object → JVM-side JSON path, no UDF)."""
@@ -542,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "scrub_pii": q_scrub_pii,
         "decision_log_lex": q_decision_log_lex,
+        "pagerank": q_pagerank,
         "sort_limit": q_sort_limit,
         "group_sizes": q_group_sizes,
         "summary_stats": q_summary_stats,
@@ -1082,6 +1090,37 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
         SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 3
+    """
+
+    # PageRank: 5 unrolled iterations (recursive CTEs can't aggregate per
+    # round); float-sensitive constants inlined as Python doubles
+    pr_iters = ""
+    base_num = repr(1.0 - 0.85)
+    for k in range(1, 6):
+        pr_iters += f""",
+        pr{k} AS MATERIALIZED (
+          SELECT d.a AS node, d.deg,
+                 {base_num} / nn.n + 0.85 * COALESCE(c.inflow, CAST(0 AS DOUBLE)) AS pr
+          FROM deg d CROSS JOIN nn
+          LEFT JOIN (SELECT u.b AS node, SUM(p.pr / p.deg) AS inflow
+                     FROM und u JOIN pr{k-1} p ON u.a = p.node GROUP BY u.b) c
+            ON c.node = d.a)"""
+    sql["pagerank"] = f"""
+        WITH le AS MATERIALIZED (
+          SELECT user_id AS src,
+                 lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+          FROM events),
+        e AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+          FROM le WHERE dst IS NOT NULL AND dst <> src),
+        und AS MATERIALIZED (
+          SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+        deg AS MATERIALIZED (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+        pr0 AS MATERIALIZED (
+          SELECT a AS node, deg, CAST(1 AS DOUBLE) / nn.n AS pr
+          FROM deg CROSS JOIN nn){pr_iters}
+        SELECT node, ROUND(pr, 6) AS pagerank FROM pr5
     """
 
     sql["decision_log"] = _decision_log_sql(200)

@@ -203,3 +203,21 @@ def test_scrub_pii_patterns(spark):
     assert "<IP>" in out[3]["scrubbed"] and "<PHONE>" in out[3]["scrubbed"]
     assert out[4]["n_url"] == out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_phone"] == 0
     assert out[4]["scrubbed"] == rows[3][1]
+
+
+def test_pagerank_properties(spark, sf_dir):
+    """Ranks sum to 1, hubs outrank leaves, deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from x5_ner_spark.operators import graph_ops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (6, 5)], "src long, dst long"
+    )
+    pr = graph_ops.pagerank(edges, iters=5)
+    rows = {r["node"]: r["pagerank"] for r in pr.collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-4
+    assert rows[1] == max(rows.values())  # degree-4 hub
+    assert rows[1] > rows[6]
+    pr2 = {r["node"]: r["pagerank"] for r in graph_ops.pagerank(edges, iters=5).collect()}
+    assert rows == pr2
