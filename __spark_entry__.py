@@ -476,6 +476,16 @@ def q_decision_log_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decision_log_op.decision_log(docs, frozenset(DL_LEX))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: training docs sharing ≥1 5-gram with the
+    'eval set' (deterministic slice doc_id % 10 == 0), with shared-shingle
+    counts. The eval shingle set broadcasts; the train scan is map-only."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.decontaminate(train, ev, k=5)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PageRank over the user adjacency graph — the KG
     analytics op downstream consumers run on the materialized edge tables."""
@@ -550,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "decision_log_lex": q_decision_log_lex,
         "pagerank": q_pagerank,
+        "decontaminate": q_decontaminate,
         "sort_limit": q_sort_limit,
         "group_sizes": q_group_sizes,
         "summary_stats": q_summary_stats,
@@ -1090,6 +1101,21 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
         SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 3
+    """
+
+    sql["decontaminate"] = """
+        WITH sh AS (
+          SELECT doc_id,
+                 array_to_string(toks[i+1:i+5], ' ') AS shingle
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents) t,
+          LATERAL unnest(range(len(toks) - 4)) AS r(i)
+          WHERE len(toks) >= 5),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+        SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared_shingles
+        FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id % 10 <> 0
+        GROUP BY s.doc_id
     """
 
     # PageRank: 5 unrolled iterations (recursive CTEs can't aggregate per

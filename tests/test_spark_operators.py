@@ -221,3 +221,24 @@ def test_pagerank_properties(spark, sf_dir):
     assert rows[1] > rows[6]
     pr2 = {r["node"]: r["pagerank"] for r in graph_ops.pagerank(edges, iters=5).collect()}
     assert rows == pr2
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from x5_ner_spark.operators import dedup
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [(1, "completely unrelated text with many words here today"),
+         (2, f"prefix words {shared} suffix words"),
+         (3, "short")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, shared)], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_shared_shingles"] for r in dedup.decontaminate(train, ev, k=5).collect()}
+    assert 2 in out and out[2] >= 1
+    assert 1 not in out and 3 not in out
+    # plan: eval shingles broadcast, train side not shuffled before the join
+    plan = dedup.decontaminate(train, ev, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -240,3 +240,20 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, k: int = 5,
+) -> DataFrame:
+    """Train/eval contamination check: flag every training document sharing
+    at least one k-token shingle with the eval set. The eval side is tiny by
+    construction (benchmarks), so its DISTINCT shingle set broadcasts and the
+    scan over the 100 TB train side is map-only (broadcast left-semi join —
+    no shuffle of train data); emits (doc_id, n_shared_shingles) for
+    thresholded dropping or auditing."""
+    tr = shingles(train, k)
+    ev = shingles(eval_docs, k).select(F.col("shingle")).distinct()
+    hits = tr.join(F.broadcast(ev), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shared_shingles")
+    )
