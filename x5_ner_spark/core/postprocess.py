@@ -106,47 +106,38 @@ def merge_model_and_numeric(text: str, base: list[Span], add: list[Span]) -> lis
     Order-dependent sequential fold; do not parallelize within a row."""
     if not add:
         return sorted(set(base), key=lambda x: (x[0], x[1], x[2]))
+    # Single in-place pass per add span (hottest loop of the postprocess,
+    # profiled): the only mutations the policy ever makes are (a) DELETE a
+    # base row the numeric span replaces — rare — and (b) decide whether the
+    # add span survives; rebuilding the kept-list per add span (the obvious
+    # transliteration) allocated ~1.2k list cells per doc for nothing.
     out: list[Span] = list(base)
     for s, e, t in add:
-        # fast path: an add span that duplicates/overlaps NOTHING in the
-        # current fold state is simply appended — identical to running the
-        # rebuild loop below (every branch there keeps non-overlapping rows).
-        # Plain loop, no genexpr: this probe runs |add|·|out| times per doc
-        # and is the hottest line of the whole postprocess; with ~30-span
-        # docs a sort-based prescreen measured SLOWER than this loop
-        hit = False
-        for row in out:
-            if row[0] < e and row[1] > s:
-                hit = True
-                break
-        if not hit:
-            out.append((s, e, t))
-            continue
         keep_add = True
-        kept: list[Span] = []
-        for ss, ee, tt in out:
+        to_delete: list[int] | None = None
+        add_num = _is_numeric_tag(t)
+        for idx, (ss, ee, tt) in enumerate(out):
+            if ss >= e or ee <= s:  # no overlap → row untouched
+                continue
             if s == ss and e == ee and t == tt:
-                keep_add = False
-                kept.append((ss, ee, tt))
+                keep_add = False  # exact duplicate: keep the base row only
                 continue
-            if ss < e and ee > s:  # overlap
-                base_num = _is_numeric_tag(tt)
-                add_num = _is_numeric_tag(t)
-                if add_num and base_num:
-                    continue  # drop base numeric, the add span replaces it
-                if add_num and not base_num:
-                    if tt.startswith(("B-TYPE", "I-TYPE")) and span_is_numeric(
-                        text, max(s, ss), min(e, ee)
-                    ):
-                        continue  # number inside TYPE → numeric wins
+            if add_num and _is_numeric_tag(tt):
+                # drop base numeric, the add span replaces it
+                (to_delete := to_delete or []).append(idx)
+            elif add_num:
+                if tt.startswith(("B-TYPE", "I-TYPE")) and span_is_numeric(
+                    text, max(s, ss), min(e, ee)
+                ):
+                    # number inside TYPE → numeric wins
+                    (to_delete := to_delete or []).append(idx)
+                else:
                     keep_add = False
-                    kept.append((ss, ee, tt))
-                    continue
+            else:
                 keep_add = False
-                kept.append((ss, ee, tt))
-                continue
-            kept.append((ss, ee, tt))
-        out = kept
+        if to_delete:
+            for idx in reversed(to_delete):
+                del out[idx]
         if keep_add:
             out.append((s, e, t))
     return sorted(set(out), key=lambda x: (x[0], x[1], x[2]))
