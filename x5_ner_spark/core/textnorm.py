@@ -36,8 +36,11 @@ def norm_token_simple(s: str) -> str:
     return _NOT_ALNUM_RU_LAT.sub("", s.lower())
 
 
+@lru_cache(maxsize=1 << 16)
 def lex_norm(s: str) -> str:
-    """Lexicon-key normalization: lower, ё→е, alnum-only (ref: ner/infer.py:56-59)."""
+    """Lexicon-key normalization: lower, ё→е, alnum-only (ref: ner/infer.py:56-59).
+    Cached — runs once per word occurrence in the cascade and token
+    frequency is Zipf on any corpus."""
     return _NOT_ALNUM_RU_LAT_NO_YO.sub("", norm_basic(s))
 
 
@@ -51,6 +54,7 @@ def normalize_token(tok: str) -> str:
     return _LETTER_RUN.sub(r"\1", t)
 
 
+@lru_cache(maxsize=1 << 16)
 def is_pure_latin(s: str) -> bool:
     return bool(_PURE_LATIN.fullmatch(s)) if s else False
 
