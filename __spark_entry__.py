@@ -486,6 +486,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(train, ev, k=5)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest purchase at or
+    before the click (union + keyed window — the operator Spark lacks;
+    oracle uses DuckDB's native ASOF LEFT JOIN)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    j = windows.asof_join(clicks, buys, key="user_id", ts="ts", value_cols=["value"])
+    return j.select(
+        "event_id", "user_id",
+        F.round("asof_value", 4).alias("purchase_value"),
+        F.unix_timestamp("asof_ts").cast("bigint").alias("purchase_epoch"),
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PageRank over the user adjacency graph — the KG
     analytics op downstream consumers run on the materialized edge tables."""
@@ -561,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision_log_lex": q_decision_log_lex,
         "pagerank": q_pagerank,
         "decontaminate": q_decontaminate,
+        "asof_join": q_asof_join,
         "sort_limit": q_sort_limit,
         "group_sizes": q_group_sizes,
         "summary_stats": q_summary_stats,
@@ -1101,6 +1117,16 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
         SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 3
+    """
+
+    sql["asof_join"] = """
+        WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        buys AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id,
+               ROUND(b.value, 4) AS purchase_value,
+               CAST(floor(epoch(b.ts)) AS BIGINT) AS purchase_epoch
+        FROM clicks c
+        ASOF LEFT JOIN buys b ON c.user_id = b.user_id AND c.ts >= b.ts
     """
 
     sql["decontaminate"] = """

@@ -242,3 +242,29 @@ def test_decontaminate_flags_planted_overlap(spark):
     # plan: eval shingles broadcast, train side not shuffled before the join
     plan = dedup.decontaminate(train, ev, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from x5_ner_spark.operators import windows as W
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 12:00:00"),
+         (3, 2, "2024-01-01 09:00:00")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0), (1, "2024-01-01 11:00:00", 7.0),
+         (2, "2024-01-01 09:30:00", 9.0)],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = {r["event_id"]: r for r in
+           W.asof_join(left, right, "user_id", "ts", ["value"]).collect()}
+    assert out[1]["asof_value"] == 5.0   # equal ts matches (inclusive)
+    assert out[2]["asof_value"] == 7.0   # latest prior
+    assert out[3]["asof_value"] is None  # nothing at or before -> null
+    # tolerance: 11:00 -> 12:00 gap is 3600s; tolerance 1800 nulls it
+    out_t = {r["event_id"]: r for r in
+             W.asof_join(left, right, "user_id", "ts", ["value"], tolerance_s=1800).collect()}
+    assert out_t[2]["asof_value"] is None and out_t[1]["asof_value"] == 5.0

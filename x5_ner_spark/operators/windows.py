@@ -102,6 +102,47 @@ def zip_join(a: DataFrame, b: DataFrame, order_cols: list[str], compare_col: str
     )
 
 
+def asof_join(
+    left: DataFrame, right: DataFrame, key: str, ts: str,
+    value_cols: list[str], tolerance_s: int | None = None,
+) -> DataFrame:
+    """As-of join — the temporal operator Spark's DataFrame API lacks: each
+    left row picks the LATEST right row with right.ts <= left.ts per key
+    (DuckDB/pandas ASOF semantics, inclusive). Implemented as union + keyed
+    window with last(ignorenulls) — ONE shuffle on the key, no range
+    cross-join, no per-key collect; ties at equal ts resolve right-before-
+    left so an exactly-simultaneous right row matches. ``tolerance_s`` nulls
+    matches older than the window (pandas merge_asof tolerance)."""
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        key, ts, *[F.col(c).alias(f"_asof_{c}") for c in value_cols]
+    ).withColumn("_side", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        u = u.withColumn(f"_asof_{c}", F.last(f"_asof_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("_asof_ts", F.last(F.when(F.col("_side") == 0, F.col(ts)),
+                                        ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_s is not None:
+        stale = (
+            F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.col("_asof_ts"))
+        ) > tolerance_s
+        for c in value_cols:
+            out = out.withColumn(
+                f"_asof_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_asof_{c}"))
+            )
+        out = out.withColumn("_asof_ts", F.when(stale, F.lit(None)).otherwise(F.col("_asof_ts")))
+    renames = {f"_asof_{c}": f"asof_{c}" for c in value_cols}
+    for old, new in {**renames, "_asof_ts": "asof_ts"}.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
 def zip_join_scalable(
     a: DataFrame, b: DataFrame, order_cols: list[str], compare_col: str,
     num_partitions: int = 32,
