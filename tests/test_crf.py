@@ -122,3 +122,23 @@ def test_mle_transitions_recover_planted_structure():
     em[0, 2] = 3.0  # anchor the first tag
     path = viterbi_decode(em, start, trans, end)
     assert path[0] == 2 and path[1] == 3 and path[2] == 0
+
+
+def test_crf_decode_udf_on_spark(spark):
+    """make_mentions_udf(decode='crf') runs distributed and matches the core
+    CRF path per row."""
+    from pyspark.sql import functions as F
+
+    from x5_ner_spark.core.mention_pipeline import crf_mention_spans_batch
+    from x5_ner_spark.operators.span_udfs import make_mentions_udf
+
+    texts = ["молоко простоквашино 3,2% 1 л", "hello spark data batch",
+             "сок добрый 200 мл", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    udf = make_mentions_udf(decode="crf")
+    got = {r["doc_id"]: [tuple(x) for x in r["spans"]]
+           for r in df.select("doc_id", udf(F.col("text")).alias("spans")).collect()}
+    want = crf_mention_spans_batch(texts)
+    for i, w in enumerate(want):
+        assert got[i] == w, (i, got[i], w)
