@@ -121,3 +121,15 @@ def test_csv_separator_sniffing(spark, tmp_path):
     p = tmp_path / "mixed.csv"
     p.write_text("a;b\n1;x,y,z\n2;u\n")
     assert sniff_separator(spark, str(p)) == ";"
+
+
+def test_csv_separator_sniffing_multifile(spark, tmp_path):
+    """Multi-file path: the sample is pinned to one file, and blank/short
+    trailing lines don't zero out the per-line minimum."""
+    from x5_ner_spark.sources.csv_semicolon import sniff_separator
+
+    d = tmp_path / "multi"
+    d.mkdir()
+    (d / "part-000.csv").write_text("a\tb\n1\tx\n2\ty\n\n;\n")  # trailing junk
+    (d / "part-001.csv").write_text("a\tb\n3\tz\n4\tw\n")
+    assert sniff_separator(spark, str(d)) == "\t"

@@ -193,3 +193,21 @@ def test_ivf_refined_recall_not_worse(spark, sf_dir):
     c1 = similarity.ivf_refine_centroids(emb, cents0, 1)
     c2 = similarity.ivf_refine_centroids(emb, cents0, 1)
     assert c1 == c2
+
+
+def test_lead_prefix_scalable_empty_partitions(spark):
+    """num_partitions ≫ rows: repartitionByRange leaves most partitions
+    EMPTY — the boundary stitch must follow the global order of non-empty
+    pids, not pid-1 arithmetic (which silently drops a partition's last row
+    whenever its successor partition is empty)."""
+    from x5_ner_spark.operators import windows as W
+
+    rows = [(i, f"doc {chr(97 + i)} text") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = sorted(tuple(r) for r in W.lead_prefix_flags(docs).collect())
+    for n in (16, 64):
+        scal = sorted(
+            tuple(r)
+            for r in W.lead_prefix_flags_scalable(docs, num_partitions=n).collect()
+        )
+        assert scal == plain and len(plain) == 9, (n, len(scal))

@@ -268,3 +268,24 @@ def test_asof_join_semantics(spark):
     out_t = {r["event_id"]: r for r in
              W.asof_join(left, right, "user_id", "ts", ["value"], tolerance_s=1800).collect()}
     assert out_t[2]["asof_value"] is None and out_t[1]["asof_value"] == 5.0
+
+
+def test_asof_join_tie_determinism(spark):
+    """Multiple right rows at the SAME (key, ts): the documented tie rule is
+    greatest (value_cols) tuple — stable across runs and partition layouts."""
+    from pyspark.sql import functions as F
+
+    from x5_ner_spark.operators import windows as W
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], "event_id long, user_id long, ts_s string"
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    tied = [(1, "2024-01-01 09:00:00", v) for v in (3.0, 9.0, 5.0)]
+    for n_parts in (1, 3, 7):
+        right = (
+            spark.createDataFrame(tied, "user_id long, ts_s string, value double")
+            .select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+            .repartition(n_parts)
+        )
+        out = W.asof_join(left, right, "user_id", "ts", ["value"]).collect()
+        assert len(out) == 1 and out[0]["asof_value"] == 9.0, (n_parts, out)

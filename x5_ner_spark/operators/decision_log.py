@@ -77,8 +77,11 @@ def write_decision_log_csv(log: DataFrame, path: str, error_col: str | None = No
     """Write the log as the reference's ;-CSV artifact
     (make_submission_from_val.py:85-107: 17 data columns incl. 'error', plus
     a leading positional index from pandas' to_csv(index=True) — replicated
-    here as a monotonically-ordered row number; bools/floats serialized to
-    the reference's literal forms)."""
+    here as a row number in EMISSION order: (doc_id, start, end) when the
+    log carries doc_id — numeric, so doc 10 sorts after doc 2, matching the
+    reference's pandas index — else (text, start, end); bools/floats
+    serialized to the reference's literal forms). Round-trip tested against
+    core ``serialize_log_row`` lines (tests/test_decision_log.py)."""
     from pyspark.sql import Window, functions as F
 
     cols = [
@@ -87,6 +90,7 @@ def write_decision_log_csv(log: DataFrame, path: str, error_col: str | None = No
         "p_brand_sum", "p_type_sum", "p_o", "error",
     ]
     df = log
+    order_first = F.col("doc_id") if "doc_id" in df.columns else F.col("text")
     if "text" not in df.columns:
         df = df.withColumn("text", F.col("doc_id").cast("string"))
     if "error" not in df.columns:
@@ -97,7 +101,7 @@ def write_decision_log_csv(log: DataFrame, path: str, error_col: str | None = No
         df = df.withColumn(b, F.when(F.col(b), "True").otherwise("False"))
     for p in ("p_brand", "p_type", "p_brand_sum", "p_type_sum", "p_o"):
         df = df.withColumn(p, F.format_number(F.col(p).cast("double"), 3))
-    w = Window.orderBy("text", "start", "end")
+    w = Window.orderBy(order_first, "start", "end")
     out = df.withColumn("", F.row_number().over(w) - 1).select("", *cols)
     out.coalesce(1).write.mode("overwrite").option("sep", ";").option(
         "header", True

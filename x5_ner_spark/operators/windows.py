@@ -112,15 +112,23 @@ def asof_join(
     window with last(ignorenulls) — ONE shuffle on the key, no range
     cross-join, no per-key collect; ties at equal ts resolve right-before-
     left so an exactly-simultaneous right row matches. ``tolerance_s`` nulls
-    matches older than the window (pandas merge_asof tolerance)."""
+    matches older than the window (pandas merge_asof tolerance).
+
+    Tie rule (deterministic): among right rows tied on (key, ts), the row
+    with the GREATEST (value_cols) tuple wins — the window order carries the
+    value struct as a final tiebreaker, so the pick is stable across runs and
+    partitionings (without it, last() over an order that leaves ties is
+    partition-layout-dependent).
+    """
     lt = left.withColumn("_side", F.lit(1))
     rt = right.select(
         key, ts, *[F.col(c).alias(f"_asof_{c}") for c in value_cols]
     ).withColumn("_side", F.lit(0))
     u = lt.unionByName(rt, allowMissingColumns=True)
+    tie = F.struct(*[F.col(f"_asof_{c}") for c in value_cols])
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "_side")
+        .orderBy(ts, "_side", tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in value_cols:
@@ -184,6 +192,15 @@ def lead_prefix_flags_scalable(
     partition, then stitch the partition boundaries with the (tiny) table of
     per-partition first rows joined back to each partition's last row. Only
     the boundary table (num_partitions rows) is shuffled twice.
+
+    Boundary-stitch correctness under EMPTY partitions: repartitionByRange
+    can produce more partitions than distinct key ranges, so partition p's
+    successor row may live in p+2 (p+1 empty). The stitch table is therefore
+    built from the global order of NON-EMPTY pids — ``lead(first_text) over
+    (orderBy pid)`` on the tiny per-partition-firsts summary — never from
+    ``pid - 1`` arithmetic (which would silently drop p's last row whenever
+    p+1 is empty). Equivalence-tested vs the plain form at
+    num_partitions ≫ rows.
     """
     base = docs.select("doc_id", "text").repartitionByRange(
         num_partitions, "text", "doc_id"
@@ -198,11 +215,13 @@ def lead_prefix_flags_scalable(
     firsts = (
         part.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select((F.col("pid") - 1).alias("prev_pid"), F.col("text").alias("first_next"))
+        .select("pid", F.col("text").alias("first_text"))
     )
-    stitched = led.join(
-        F.broadcast(firsts), led.pid == F.col("prev_pid"), "left"
-    ).withColumn(
+    # tiny table (≤ num_partitions rows): single-partition window is fine
+    stitch = firsts.withColumn(
+        "first_next", F.lead("first_text").over(Window.orderBy("pid"))
+    ).select("pid", "first_next")
+    stitched = led.join(F.broadcast(stitch), "pid", "left").withColumn(
         "next_text",
         F.when(F.col("rn_desc") == 1, F.col("first_next")).otherwise(F.col("next_text")),
     )

@@ -44,18 +44,25 @@ def iceberg_catalog(spark: SparkSession) -> str | None:
 
 def _write_stage_iceberg(
     bucketed: DataFrame, catalog: str, namespace: str, stage: str,
+    todo: list[int],
 ) -> None:
     """Iceberg twin of the parquet bucket write: same part_id partitioning,
-    same write-then-commit ordering (an Iceberg snapshot commit is atomic, so
-    the pre-write directory cleanup of the parquet path becomes a no-op —
-    a died mid-write run simply never committed)."""
+    same write-then-commit ordering. An Iceberg snapshot commit is atomic,
+    but a run can still die in the window AFTER the append snapshot commits
+    and BEFORE the manifest row lands — on resume that bucket is re-run, so
+    the committed rows of every todo bucket are DELETEd first (partition-
+    scoped metadata delete; the parquet layout's part-dir cleanup analog).
+    Table existence is checked explicitly — append errors propagate instead
+    of being masked as a confusing create() failure."""
     spark = bucketed.sparkSession
     table = f"{catalog}.{namespace}.{stage}"
     spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
-    try:
+    if spark.catalog.tableExists(table):
+        ids = ", ".join(str(int(p)) for p in todo)
+        if ids:
+            spark.sql(f"DELETE FROM {table} WHERE part_id IN ({ids})")
         bucketed.writeTo(table).append()
-    except Exception:
-        # first write: create partitioned table, then the data lands with it
+    else:
         bucketed.writeTo(table).partitionedBy(F.col("part_id")).create()
 
 
@@ -116,7 +123,7 @@ def write_stage(
     bucketed = with_bucket(df, key, n_buckets).filter(F.col("part_id").isin(todo))
     out_path = os.path.join(root, stage)
     if cat:
-        _write_stage_iceberg(bucketed, cat, namespace, stage)
+        _write_stage_iceberg(bucketed, cat, namespace, stage, todo)
         written = spark.read.table(f"{cat}.{namespace}.{stage}").filter(
             F.col("part_id").isin(todo)
         )

@@ -61,13 +61,38 @@ def sniff_separator(
     (documented): we pick the candidate with the highest CONSISTENT per-line
     occurrence over a 10-line sample, tie-broken by the reference's
     preference order — same intent, actually discriminating. Driver-side
-    head sample only; the full scan stays one distributed CSV read."""
-    head = [r[0] for r in spark.read.text(path).limit(10).collect() if r[0].strip()]
+    head sample only; the full scan stays one distributed CSV read.
+
+    Sampling is pinned to a SINGLE file: for a multi-file path the rows of a
+    bare limit() are arbitrary, so the sample is restricted to the
+    lexicographically-first file seen (consistent across runs). Blank and
+    short (<2 char) lines — e.g. a trailing newline fragment — are skipped
+    before the per-line min, so one stub line can't zero out the true
+    separator's count. The chosen separator is logged."""
+    import logging
+
+    rows = (
+        spark.read.text(path)
+        .select("value", F.input_file_name().alias("_f"))
+        .limit(200)
+        .collect()
+    )
+    lines: list[str] = []
+    if rows:
+        first_file = min(r["_f"] for r in rows)
+        lines = [
+            r["value"] for r in rows
+            if r["_f"] == first_file and len(r["value"].strip()) >= 2
+        ][:10]
     best, best_n = candidates[0], 0
     for sep in candidates:
-        n = min((ln.count(sep) for ln in head), default=0)
+        n = min((ln.count(sep) for ln in lines), default=0)
         if n > best_n:
             best, best_n = sep, n
+    logging.getLogger(__name__).info(
+        "sniff_separator(%s): chose %r (min per-line count %d over %d lines)",
+        path, best, best_n, len(lines),
+    )
     return best
 
 
