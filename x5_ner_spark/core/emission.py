@@ -1,0 +1,145 @@
+"""Pluggable emission providers for the mention-detection inference stage.
+
+The reference loads a real HF checkpoint from disk once per process and
+serves every request from that singleton (ner/infer.py:141-147 checkpoint
+load, ner/train.py:73-108 save; service/app.py:20-34 lazy singleton). torch/
+transformers are absent from this container (verified), so full weight
+parity is impossible here — but the checkpoint-load PATH is not: this module
+ships a numpy weights-on-disk provider (``NpzMlpProvider``) that exercises
+everything a real checkpoint exercises on an executor:
+
+- load an .npz weight file from disk ONCE per Python worker process
+  (``provider_for`` module-level cache — the Spark analog of the reference's
+  model singleton), with load events auditable via a ``<path>.loads`` log;
+- vectorized forward over a token micro-batch (hashed char-trigram features
+  → 2-layer MLP → softmax), so executor memory/batching behavior matches a
+  real emission model rather than the hash stub;
+- the SAME swap point as a real checkpoint: ``batch_probabilities`` — the
+  cascade, post-process and triple layers above are provider-agnostic.
+
+The weight fixture (``write_npz_checkpoint``) is generated deterministically
+from a seed, so tests are reproducible without shipping binary weights.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from functools import lru_cache
+
+import numpy as np
+
+N_CLASSES = 9  # BIO_TAGS order (core/spans.py)
+
+
+def write_npz_checkpoint(
+    path: str, n_features: int = 256, hidden: int = 32, seed: int = 7,
+) -> str:
+    """Deterministic 2-layer-MLP weight fixture. Layout mirrors what a real
+    export would hold: input layer over hashed char-trigram features (+1
+    continuation flag), hidden relu layer, 9-class output head."""
+    rng = np.random.RandomState(seed)
+    d_in = n_features + 1
+    np.savez(
+        path,
+        w1=(rng.randn(d_in, hidden) / np.sqrt(d_in)).astype("float32"),
+        b1=(0.01 * rng.randn(hidden)).astype("float32"),
+        w2=(rng.randn(hidden, N_CLASSES) / np.sqrt(hidden)).astype("float32"),
+        b2=(0.01 * rng.randn(N_CLASSES)).astype("float32"),
+        n_features=np.array(n_features, dtype="int64"),
+        seed=np.array(seed, dtype="int64"),
+    )
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+@lru_cache(maxsize=1 << 16)
+def _gram_indices(tok: str, n_features: int) -> tuple[int, ...]:
+    """Char-trigram bucket ids of '^tok$' — md5-hashed (portable, engine-
+    independent), cached per token (Zipf pays for itself)."""
+    s = f"^{tok}$"
+    out = []
+    for i in range(max(len(s) - 2, 1)):
+        g = s[i : i + 3]
+        h = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:4], "big")
+        out.append(h % n_features)
+    return tuple(out)
+
+
+class NpzMlpProvider:
+    """Weights-on-disk emission provider: .npz → vectorized MLP forward.
+
+    Instantiate via :func:`provider_for` (per-process singleton); direct
+    construction loads the file eagerly. Each instance owns its probability
+    cache (keyed (norm_token, continuation)), so two providers never share
+    state with each other or with the stub model's cache.
+    """
+
+    def __init__(self, path: str):
+        with np.load(path) as z:
+            self.w1 = z["w1"].astype("float64")
+            self.b1 = z["b1"].astype("float64")
+            self.w2 = z["w2"].astype("float64")
+            self.b2 = z["b2"].astype("float64")
+            self.n_features = int(z["n_features"])
+        self.path = path
+        self.prob_cache: dict[tuple[str, bool], tuple[float, ...]] = {}
+        self.prob_cache_max = 1 << 16
+        try:  # auditable load event (tiny, best-effort): one line per load
+            with open(path + ".loads", "a") as f:
+                f.write(f"{os.getpid()}\n")
+        except OSError:
+            pass
+
+    def batch_logits(self, tokens_conts: list[tuple[str, bool]]) -> np.ndarray:
+        """Forward pass, bit-identical for a row regardless of batch shape
+        (batch≡scalar): layer 1 is a sparse gather-sum in gram order (the
+        feature bag has ~len(tok) non-zeros — also cheaper than a dense
+        gemm), layer 2 a broadcast-multiply + axis reduction whose pairwise
+        summation tree is per-row, so BLAS gemm-vs-gemv reduction-order
+        drift can't make results depend on how the kernel micro-batched."""
+        if not tokens_conts:
+            return np.zeros((0, N_CLASSES))
+        h = np.empty((len(tokens_conts), self.w1.shape[1]))
+        for r, (tok, cont) in enumerate(tokens_conts):
+            acc = self.b1.copy()
+            for j in _gram_indices(tok, self.n_features):
+                acc += self.w1[j]
+            if cont:
+                acc += self.w1[self.n_features]
+            h[r] = acc
+        np.maximum(h, 0.0, out=h)
+        return (h[:, :, None] * self.w2[None, :, :]).sum(axis=1) + self.b2
+
+    def batch_probabilities(self, tokens_conts: list[tuple[str, bool]]) -> np.ndarray:
+        logits = self.batch_logits(tokens_conts)
+        if not len(logits):
+            return logits
+        m = logits.max(axis=1, keepdims=True)
+        e = np.exp(logits - m)
+        return e / e.sum(axis=1, keepdims=True)
+
+
+_PROVIDERS: dict[str, tuple[float, NpzMlpProvider]] = {}
+
+
+def provider_for(path: str) -> NpzMlpProvider:
+    """Per-process provider singleton: the .npz is read from disk at most
+    once per (path, mtime) per Python worker — every partition and Arrow
+    batch that worker processes reuses the loaded weights (the reference's
+    lazy model singleton, service/app.py:20-34). An updated file (new mtime)
+    triggers exactly one reload."""
+    key = os.path.abspath(path)
+    mtime = os.path.getmtime(key)
+    hit = _PROVIDERS.get(key)
+    if hit is None or hit[0] != mtime:
+        _PROVIDERS[key] = (mtime, NpzMlpProvider(key))
+    return _PROVIDERS[key][1]
+
+
+def load_count(path: str) -> int:
+    """Number of recorded load events for ``path`` (lines in the .loads log)."""
+    try:
+        with open(os.path.abspath(path) + ".loads") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0

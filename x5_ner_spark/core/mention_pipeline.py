@@ -59,6 +59,7 @@ def final_mention_spans_batch(
     brand_lexicon_list: list[str] | None = None,
     max_words_per_microbatch: int = 8192,
     logs: list[list[dict]] | None = None,
+    provider=None,
 ) -> list[list[Span]]:
     """Batched variant of :func:`final_mention_spans` — the N3 inference
     shape: all words of the Arrow batch go through the model in token-count-
@@ -69,7 +70,13 @@ def final_mention_spans_batch(
 
     Pass ``logs`` (an empty list) to collect one per-word decision-record
     list per text (S8 decision log, ref infer.py:411-413) from the same
-    cascade run — empty/blank texts get an empty list."""
+    cascade run — empty/blank texts get an empty list.
+
+    ``provider`` swaps the emission model (core/emission.py): any object with
+    ``batch_probabilities([(norm_token, cont)]) -> [n, 9]`` and a
+    ``prob_cache`` dict / ``prob_cache_max`` int. None = the pinned stub
+    (module-global cache). This is the reference's checkpoint swap point
+    (infer.py:141-147): cascade/postprocess/triples above are untouched."""
     words_per_text: list[list[tuple[int, int]] | None] = []
     toks_per_text: list[list[tuple[str, int, int]] | None] = []
     keys_per_text: list[list[tuple[str, bool]] | None] = []
@@ -95,13 +102,21 @@ def final_mention_spans_batch(
     # call still needs (KeyError on probs_map[k] below). All of this call's
     # keys are therefore either warm survivors or inserted by this call; the
     # cache may overshoot the cap within one call and is trimmed on the next.
-    cache = _BATCH_PROB_CACHE
-    if len(cache) > _BATCH_PROB_CACHE_MAX:
+    if provider is None:
+        cache, cache_max, compute = (
+            _BATCH_PROB_CACHE, _BATCH_PROB_CACHE_MAX, batch_probabilities,
+        )
+    else:
+        cache, cache_max, compute = (
+            provider.prob_cache, provider.prob_cache_max,
+            provider.batch_probabilities,
+        )
+    if len(cache) > cache_max:
         cache.clear()
     cold = list(dict.fromkeys(k for k in keys if k not in cache))
     for lo in range(0, len(cold), max_words_per_microbatch):
         chunk = cold[lo : lo + max_words_per_microbatch]
-        mat = batch_probabilities(chunk)
+        mat = compute(chunk)
         for k, row in zip(chunk, mat):
             cache[k] = tuple(float(x) for x in row)
     probs_map = cache

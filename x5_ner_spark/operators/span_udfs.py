@@ -83,6 +83,7 @@ def numeric_spans_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 def make_mentions_udf(
     brand_lexicon=frozenset(), *, postprocessed: bool = True, decode: str = "cascade",
+    emission_npz: str | None = None,
 ):
     """Mention-detection UDF factory. ``brand_lexicon`` may be a frozenset or
     a ``sparkContext.broadcast`` handle (unwrapped lazily on the executor).
@@ -91,6 +92,12 @@ def make_mentions_udf(
     over the deterministic stub transition matrix; core/crf.py) instead of
     the probability cascade — opt-in because the reference itself computes
     and then discards the Viterbi path in inference (infer.py:189).
+
+    ``emission_npz`` swaps the emission model for a weights-on-disk numpy
+    checkpoint (core/emission.py), loaded ONCE per Python worker process via
+    ``provider_for`` — the engine's analog of the reference's checkpoint load
+    (infer.py:141-147). Only the batched (default) path honors it; the
+    cascade above is provider-agnostic. None = the pinned stub.
 
     The heavy state (sorted lexicon list) is materialized ONCE per Python
     worker per partition via the iterator form — the Spark analog of the
@@ -103,6 +110,11 @@ def make_mentions_udf(
         lex = brand_lexicon.value if hasattr(brand_lexicon, "value") else brand_lexicon
         lex = frozenset(lex)
         lex_list = sorted(lex)
+        provider = None
+        if emission_npz is not None:
+            from ..core.emission import provider_for
+
+            provider = provider_for(emission_npz)
         for batch in texts:
             if decode == "crf":
                 spans = crf_mention_spans_batch(["" if t is None else t for t in batch])
@@ -111,7 +123,8 @@ def make_mentions_udf(
                 # batched N3 shape: one vectorized model call per micro-batch
                 # of words across the whole Arrow batch
                 spans = final_mention_spans_batch(
-                    ["" if t is None else t for t in batch], lex, lex_list
+                    ["" if t is None else t for t in batch], lex, lex_list,
+                    provider=provider,
                 )
                 yield pd.Series([_spans_to_rows(s) for s in spans])
             else:

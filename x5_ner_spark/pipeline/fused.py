@@ -31,8 +31,13 @@ def fused_triples(
     brand_lexicon=frozenset(),
     balance: bool = True,
     num_partitions: int | None = None,
+    emission_npz: str | None = None,
 ) -> DataFrame:
-    """pages(url, html, text, ...) → (subj, pred, obj, url)."""
+    """pages(url, html, text, ...) → (subj, pred, obj, url).
+
+    ``emission_npz``: optional weights-on-disk emission checkpoint
+    (core/emission.py), loaded once per worker process — the production
+    swap point for a real model inside this same fused stage."""
     cols = pages.select(
         "url",
         "html" if "html" in pages.columns else F.lit(None).cast("binary").alias("html"),
@@ -51,6 +56,11 @@ def fused_triples(
         lex = lex_source.value if hasattr(lex_source, "value") else lex_source
         lex = frozenset(lex or [])
         lex_list = sorted(lex)
+        provider = None
+        if emission_npz is not None:
+            from ..core.emission import provider_for
+
+            provider = provider_for(emission_npz)
         for pdf in batches:
             urls, docs = [], []
             for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
@@ -61,7 +71,9 @@ def fused_triples(
                     continue
                 urls.append(url)
                 docs.append(t)
-            spans_per_doc = final_mention_spans_batch(docs, lex, lex_list)
+            spans_per_doc = final_mention_spans_batch(
+                docs, lex, lex_list, provider=provider
+            )
             out: dict[str, list] = {"subj": [], "pred": [], "obj": [], "url": []}
             for url, t, spans in zip(urls, docs, spans_per_doc):
                 for subj, pred, obj in triples_from_spans(url, t, spans):
