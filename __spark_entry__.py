@@ -419,6 +419,14 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(docs, pairs)
 
 
+def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup, PRODUCTION path (the 100 TB shape): MinHash-LSH band
+    buckets → candidate pairs → exact Jaccard rescore → connected components
+    → keeper. The oracle replays banding + rescore + CC in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters_lsh(docs, k=3, threshold=0.5)
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over the corpus, with deterministic synthetic PII
     appended per doc (the clean fixture corpus contains none) so every
@@ -572,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "decision_log": q_decision_log,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_clusters_lsh": q_near_dup_clusters_lsh,
         "scrub_pii": q_scrub_pii,
         "decision_log_lex": q_decision_log_lex,
         "pagerank": q_pagerank,
@@ -1053,6 +1062,55 @@ def oracle_sql() -> dict[str, str]:
         bands AS ({band_selects})
         SELECT band, bucket, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
         FROM bands GROUP BY band, bucket HAVING COUNT(*) > 1
+    """
+
+    sql["near_dup_clusters_lsh"] = f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+          FROM toks, LATERAL unnest(range(len(toks) - 2)) AS r(i)
+          WHERE len(toks) >= 3),
+        sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b),
+        jp AS (
+          SELECT id_a, id_b,
+                 CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jacc
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b),
+        pairs AS (SELECT id_a, id_b FROM jp WHERE jacc >= 0.5),
+        und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        nds AS (SELECT DISTINCT a AS node FROM und),
+        reach AS (
+          SELECT node, node AS r FROM nds
+          UNION
+          SELECT u.b AS node, reach.r FROM reach JOIN und u ON u.a = reach.node),
+        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        withq AS (
+          SELECT c.node, c.cluster_id, d.n_chars
+          FROM comp c JOIN documents d ON d.doc_id = c.node),
+        keep AS (
+          SELECT cluster_id, node AS keep_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                         ORDER BY n_chars DESC, node ASC) AS rn
+            FROM withq) WHERE rn = 1)
+        SELECT w.node AS doc_id, w.cluster_id, k.keep_id,
+               w.node <> k.keep_id AS dropped
+        FROM withq w JOIN keep k USING (cluster_id)
     """
 
     h_tok = _H32.format(x="t || ''")

@@ -211,3 +211,53 @@ def test_lead_prefix_scalable_empty_partitions(spark):
             for r in W.lead_prefix_flags_scalable(docs, num_partitions=n).collect()
         )
         assert scal == plain and len(plain) == 9, (n, len(scal))
+
+
+def test_near_dup_clusters_lsh_recall_vs_exact(spark):
+    """The production dedup path (minhash bands → exact rescore → CC) vs the
+    exact shared-shingle path on a planted-duplicate corpus: the rescore is
+    exact so every LSH pair is true (no false positives), and banding must
+    recover ≥0.9 of the exact path's dropped documents."""
+    import random
+
+    from x5_ner_spark.operators import dedup
+
+    rng = random.Random(17)
+    vocab = [f"tok{i}" for i in range(200)]
+    rows = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(14)]
+        rows.append((i, " ".join(words), len(" ".join(words))))
+        if i < 15:  # plant a near-duplicate: one substituted token
+            mut = list(words)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((100 + i, " ".join(mut), len(" ".join(mut))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_rescore(
+            docs, dedup.minhash_candidate_pairs(docs, k=3), k=3, threshold=0.5
+        ).collect()
+    }
+    assert len(exact_pairs) >= 15
+    assert lsh_pairs <= exact_pairs  # exact rescore: no false positives
+    assert len(lsh_pairs & exact_pairs) / len(exact_pairs) >= 0.9
+
+    exact_dropped = {
+        r["doc_id"] for r in dedup.near_dup_clusters(
+            docs, dedup.jaccard_pairs(docs, k=3, threshold=0.5)
+        ).collect() if r["dropped"]
+    }
+    lsh_dropped = {
+        r["doc_id"] for r in dedup.near_dup_clusters_lsh(docs, k=3).collect()
+        if r["dropped"]
+    }
+    # lsh pairs ⊆ exact pairs ⇒ lsh clusters refine exact clusters ⇒ a doc
+    # dropped by the lsh path is always dropped by the exact path too
+    assert lsh_dropped <= exact_dropped
+    assert len(lsh_dropped & exact_dropped) / max(len(exact_dropped), 1) >= 0.9
