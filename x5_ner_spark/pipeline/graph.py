@@ -86,6 +86,28 @@ def read_manifest(spark: SparkSession, root: str, stage: str) -> DataFrame:
     return m.filter(F.col("stage") == stage)
 
 
+def complete_stages(
+    spark: SparkSession, root: str, prefix: str, n_buckets: int
+) -> list[str]:
+    """Stages under ``prefix`` whose manifest holds ALL n_buckets rows —
+    i.e. rounds that committed completely (a crash mid-write leaves fewer
+    manifest rows and the round is treated as absent). Used by the iterative
+    operators' reliable-checkpoint resume (CC / PageRank)."""
+    p = manifest_path(root)
+    try:
+        m = spark.read.schema(MANIFEST_SCHEMA).parquet(p)
+    except Exception:
+        return []
+    rows = (
+        m.filter(F.col("stage").startswith(prefix))
+        .groupBy("stage")
+        .agg(F.countDistinct("part_id").alias("n"))
+        .filter(F.col("n") >= n_buckets)
+        .collect()
+    )
+    return sorted(r["stage"] for r in rows)
+
+
 def pending_parts(spark: SparkSession, root: str, stage: str, n_buckets: int) -> list[int]:
     done = {r.part_id for r in read_manifest(spark, root, stage).select("part_id").collect()}
     return [p for p in range(n_buckets) if p not in done]
