@@ -65,3 +65,41 @@ def test_batch_prob_cache_eviction_keeps_warm_keys(monkeypatch):
         [warm + " " + cold_text], max_words_per_microbatch=3
     )
     assert out[0] == mp.final_mention_spans(warm + " " + cold_text)
+
+
+def test_fused_triples_and_log_matches_standalone(spark):
+    """One inference pass emits BOTH triple rows and S8 log rows; each half
+    is row-identical to its standalone operator (fused_triples /
+    operators.decision_log)."""
+    from pyspark.sql import functions as F
+
+    from x5_ner_spark.operators.decision_log import decision_log
+    from x5_ner_spark.pipeline import fused
+
+    lex = frozenset({"барни", "santa"})
+    texts = [
+        "молоко простоквашино 3.2% две упаковки",
+        "сок santa затем хлеб барни",
+        "greenfield чай 100 пакетиков",
+        "вода 1 л",
+    ]
+    pages = spark.createDataFrame(
+        [(f"https://s/{i}", None, t) for i, t in enumerate(texts)],
+        "url string, html binary, text string",
+    )
+    combined = fused.fused_triples_and_log(pages, lex).persist()
+    trip, log = fused.split_triples_and_log(combined)
+
+    want_trip = sorted(tuple(r) for r in fused.fused_triples(pages, lex).collect())
+    assert sorted(tuple(r) for r in trip.collect()) == want_trip and want_trip
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want_log = sorted(
+        (f"https://s/{r['doc_id']}",) + tuple(r)[1:]
+        for r in decision_log(docs, lex).collect()
+    )
+    got_log = sorted(tuple(r) for r in log.collect())
+    assert got_log == want_log and len(want_log) > 10
+    combined.unpersist()

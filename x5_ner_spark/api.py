@@ -64,9 +64,11 @@ class NerEngine:
     def triples(self, docs: DataFrame, subj_col: str = "url") -> DataFrame:
         return triples_stage.run(self.detect(docs), subj_col=subj_col)
 
-    def triples_fast(self, pages: DataFrame, balance: bool = True) -> DataFrame:
+    def triples_fast(self, pages: DataFrame, balance: bool = False) -> DataFrame:
         """Single-Arrow-stage pages→triples (pipeline.fused) — row-identical
-        to extract→detect→triples, one JVM↔Python hop instead of three."""
+        to extract→detect→triples, one JVM↔Python hop instead of three.
+        ``balance`` (round-robin reshuffle) only helps compute-skewed
+        upstream partitionings; see fused_triples."""
         from .pipeline.fused import fused_triples
 
         return fused_triples(pages, self._lexset, balance=balance)

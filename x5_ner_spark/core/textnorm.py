@@ -157,24 +157,83 @@ def fuzz_partial_ratio(a: str, b: str) -> float:
     return best
 
 
+def token_sort_ratio(a: str, b: str) -> float:
+    """rapidfuzz ``fuzz.token_sort_ratio``: ratio over the whitespace tokens
+    of each side sorted and re-joined with single spaces."""
+    return fuzz_ratio(
+        " ".join(sorted(a.split())), " ".join(sorted(b.split()))
+    )
+
+
+def token_set_ratio(a: str, b: str) -> float:
+    """rapidfuzz ``fuzz.token_set_ratio``: tokens split into intersection and
+    per-side differences; best ratio among (sect+diff_ab vs sect+diff_ba),
+    (sect vs sect+diff_ab), (sect vs sect+diff_ba). rapidfuzz computes the
+    last two arithmetically from lengths — equivalent to the explicit string
+    comparison here because the sorted intersection is a literal common
+    prefix and indel distance is prefix-invariant."""
+    ta, tb = set(a.split()), set(b.split())
+    if not ta or not tb:
+        return 0.0
+    intersect = ta & tb
+    diff_ab, diff_ba = ta - tb, tb - ta
+    if intersect and (not diff_ab or not diff_ba):
+        return 100.0
+    sect = " ".join(sorted(intersect))
+    s1 = (sect + " " + " ".join(sorted(diff_ab))).strip()
+    s2 = (sect + " " + " ".join(sorted(diff_ba))).strip()
+    return max(fuzz_ratio(s1, s2), fuzz_ratio(sect, s1), fuzz_ratio(sect, s2))
+
+
+def token_ratio(a: str, b: str) -> float:
+    """rapidfuzz ``fuzz.token_ratio`` = max(token_sort, token_set)."""
+    return max(token_sort_ratio(a, b), token_set_ratio(a, b))
+
+
+def partial_token_sort_ratio(a: str, b: str) -> float:
+    return fuzz_partial_ratio(
+        " ".join(sorted(a.split())), " ".join(sorted(b.split()))
+    )
+
+
+def partial_token_set_ratio(a: str, b: str) -> float:
+    """rapidfuzz ``fuzz.partial_token_set_ratio``: any shared token → 100,
+    else partial_ratio over the sorted deduped token joins."""
+    ta, tb = set(a.split()), set(b.split())
+    if not ta or not tb:
+        return 0.0
+    if ta & tb:
+        return 100.0
+    return fuzz_partial_ratio(" ".join(sorted(ta)), " ".join(sorted(tb)))
+
+
+def partial_token_ratio(a: str, b: str) -> float:
+    return max(partial_token_sort_ratio(a, b), partial_token_set_ratio(a, b))
+
+
 def fuzz_wratio(a: str, b: str) -> float:
-    """rapidfuzz-compatible ``fuzz.WRatio`` for WHITESPACE-FREE inputs — the
-    only shape the cascade feeds it (``lex_norm`` output, ref infer.py:282-291).
-    For single-token strings token_sort/token_set reduce to ``ratio`` and the
-    partial token variants to ``partial_ratio``, so WRatio (rapidfuzz fuzz.py,
-    UNBASE_SCALE=0.95) collapses to:
-      len_ratio < 1.5 → max(ratio, ratio·0.95) = ratio
-      else            → max(ratio, partial_ratio·scale), scale 0.9 (<8) / 0.6
-    """
+    """rapidfuzz-compatible ``fuzz.WRatio`` — now TOTAL over arbitrary
+    strings (rapidfuzz fuzz.py, UNBASE_SCALE=0.95):
+      len_ratio < 1.5 → max(ratio, token_ratio·0.95)
+      else            → max(ratio, partial_ratio·scale,
+                            partial_token_ratio·0.95·scale),
+                        scale 0.9 (len_ratio<8) / 0.6.
+
+    For WHITESPACE-FREE inputs — the only shape the cascade feeds it
+    (``lex_norm`` output, ref infer.py:282-291) — the token variants reduce
+    to ratio/partial_ratio and this is PROVABLY the round-2 closed form
+    (property-tested in tests/test_core_textnorm.py), so cascade behavior is
+    unchanged; the general form exists for free-text callers."""
     if not a or not b:
         return 0.0
     la, lb = len(a), len(b)
     len_ratio = max(la, lb) / min(la, lb)
     r = fuzz_ratio(a, b)
     if len_ratio < 1.5:
-        return r
+        return max(r, token_ratio(a, b) * 0.95)
     scale = 0.9 if len_ratio < 8 else 0.6
-    return max(r, fuzz_partial_ratio(a, b) * scale)
+    r = max(r, fuzz_partial_ratio(a, b) * scale)
+    return max(r, partial_token_ratio(a, b) * 0.95 * scale)
 
 
 @lru_cache(maxsize=1 << 16)
