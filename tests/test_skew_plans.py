@@ -261,3 +261,41 @@ def test_near_dup_clusters_lsh_recall_vs_exact(spark):
     # dropped by the lsh path is always dropped by the exact path too
     assert lsh_dropped <= exact_dropped
     assert len(lsh_dropped & exact_dropped) / max(len(exact_dropped), 1) >= 0.9
+
+
+def test_cc_hub_skew_rounds_and_salted_path(spark):
+    """SURVEY §7.4(5) promised hub-skew stress: one node carries ~10% of all
+    edges. CC round count must stay O(log n) (the hub is star-shaped already;
+    the ring backbone is the long-diameter part), AQE skew handling is on in
+    the session, and the salted two-phase aggregate engages exactly on the
+    hub-key distribution."""
+    import math
+
+    from x5_ner_spark.pipeline.canonicalize import connected_components
+    from x5_ner_spark.pipeline.fixtures import hub_edges_df
+    from x5_ner_spark.pipeline.skew import salted_count
+
+    n = 4096
+    edges = hub_edges_df(spark, n, hub_share=0.1)
+    hub_deg = edges.filter((F.col("src") == 0) | (F.col("dst") == 0)).count()
+    total = edges.count()
+    assert hub_deg / total >= 0.08, (hub_deg, total)  # the skew is real
+
+    info: dict = {}
+    comp = connected_components(edges, resume_info=info)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)  # ring+hub: one component
+    assert info["rounds"] <= math.ceil(math.log2(n)), info  # O(log n), n=4096 → ≤12
+
+    # AQE skew-join splitting is enabled in every session this engine makes
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    # salted path: two-phase aggregate is row-identical on the hub key and
+    # its plan really is two exchanges (per-(key,salt) partial, per-key final)
+    plain = {r["src"]: r["count"] for r in edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("count")).collect()}
+    salted = {r["src"]: r["count"] for r in salted_count(edges, "src").collect()}
+    assert salted == plain
+    plan = salted_count(edges, "src")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") >= 2 and "xxhash64" in plan

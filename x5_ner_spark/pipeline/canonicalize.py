@@ -120,10 +120,12 @@ def connected_components(
         return (r["n"], r["h"])
 
     sig = _sig(e)
+    rounds = 0
     for i in range(start_round, max_iter):
         e2 = _small_star(_large_star(e)).distinct().localCheckpoint()
         sig2 = _sig(e2)
         e = e2
+        rounds += 1
         if sig2 == sig:
             break
         sig = sig2
@@ -134,6 +136,8 @@ def connected_components(
                 e, checkpoint_dir, f"cc_round_{i + 1:04d}", key="src",
                 n_buckets=checkpoint_buckets,
             )
+    if resume_info is not None:
+        resume_info["rounds"] = rounds
 
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = (
