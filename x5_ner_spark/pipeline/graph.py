@@ -160,7 +160,12 @@ def write_stage(
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir, ignore_errors=True)
         bucketed.write.mode("append").partitionBy("part_id").parquet(out_path)
-        written = spark.read.parquet(out_path).filter(F.col("part_id").isin(todo))
+        # explicit schema: a legitimately EMPTY stage (zero rows for this
+        # shard) writes only _SUCCESS, and schema inference on that dir
+        # throws — the stage's own schema is already known
+        written = spark.read.schema(bucketed.schema).parquet(out_path).filter(
+            F.col("part_id").isin(todo)
+        )
     wall = time.time() - t0
     stats = written.groupBy("part_id").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -4,8 +4,8 @@
   pandas UDF (operators/span_udfs.make_mentions_udf) — Arrow batches, state
   loaded once per worker (ref lifecycle SURVEY.md §3.1);
 - the brand lexicon is a driver-built broadcast (ref infer.py:62-72);
-- ``repartitionByRange`` on text length balances Python-worker batches so a
-  few huge documents don't skew task times (SURVEY.md §4 custom item 2).
+- round-robin ``repartition`` fans narrow scans out to every worker with an
+  even length mix per partition (SURVEY.md §4 custom item 2; see run()).
 """
 
 from __future__ import annotations
@@ -60,13 +60,20 @@ def run(
     spark: SparkSession | None = None,
     balance: bool = True,
     num_partitions: int | None = None,
+    emission_npz: str | None = None,
 ) -> DataFrame:
     """docs(url, text, ...) → + spans array<struct<start,end,tag>>.
 
-    ``balance`` range-partitions on text length so Python workers get
-    byte-balanced batches (a few huge documents otherwise skew task times —
-    SURVEY.md §4 custom item 2). Lexicons above broadcast-pickle size go
-    through a real sparkContext.broadcast."""
+    ``balance`` ROUND-ROBIN repartitions so every Python worker gets an even
+    mix of documents (round 3: the previous repartitionByRange on text
+    length CONCENTRATED the longest documents into the same partitions —
+    the straggler it claimed to prevent; round-robin is the shape that
+    actually balances compute). Kept ON by default here because this stage
+    often consumes single-file inputs whose scan is 1-2 partitions — the
+    fan-out matters more than the shuffle; storage-scan callers with healthy
+    partitioning can pass balance=False (see fused_triples, default off).
+    Lexicons above broadcast-pickle size go through a real
+    sparkContext.broadcast."""
     lex = frozenset(brand_lexicon or [])
     if spark is not None and len(lex) > 64:
         lex = spark.sparkContext.broadcast(lex)
@@ -74,10 +81,6 @@ def run(
         n = num_partitions or int(
             docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        docs = (
-            docs.withColumn("_n_chars", F.length("text"))
-            .repartitionByRange(n, "_n_chars", "url")
-            .drop("_n_chars")
-        )
-    udf = make_mentions_udf(lex, postprocessed=True)
+        docs = docs.repartition(n)
+    udf = make_mentions_udf(lex, postprocessed=True, emission_npz=emission_npz)
     return docs.withColumn("spans", udf(F.col("text")))

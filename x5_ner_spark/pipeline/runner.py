@@ -52,6 +52,7 @@ def run_pipeline(
     alias_dict: DataFrame | None = None,
     n_buckets: int = 8,
     run_id: str = "run0",
+    emission_npz: str | None = None,
 ) -> dict[str, DataFrame]:
     """Returns the stage DataFrames; writes stage tables + manifests when
     ``out_root`` is given (checkpoint-resume per graph.write_stage)."""
@@ -63,10 +64,10 @@ def run_pipeline(
     # canonicalization's iterative actions and the caller's writes don't
     # re-run inference (on a cluster, write_stage's Iceberg tables play this
     # role; in-memory persist covers the library path)
-    men = mentions.run(docs.select("url", "text"), lex, spark)
+    men = mentions.run(docs.select("url", "text"), lex, spark, emission_npz=emission_npz)
     from . import fused
 
-    trip = fused.fused_triples(pages, frozenset(lex)).persist()
+    trip = fused.fused_triples(pages, frozenset(lex), emission_npz=emission_npz).persist()
 
     adict = alias_dict if alias_dict is not None else default_alias_dict(spark)
     ments = candidates.mention_table(trip)
@@ -128,6 +129,11 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=None, help="synthesize N pages if no --pages")
     ap.add_argument("--out", default=None)
     ap.add_argument("--buckets", type=int, default=None)
+    ap.add_argument(
+        "--emission-npz", default=None,
+        help="weights-on-disk emission checkpoint (core/emission.py); "
+             "loaded once per worker process — the real-model swap point",
+    )
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -146,6 +152,7 @@ def main() -> None:
     out = run_pipeline(
         spark, pages, out_root=out_dir, brand_lexicon=lex,
         n_buckets=n_buckets, run_id=str(cfg["run_id"]),
+        emission_npz=args.emission_npz,
     )
     print({k: v.count() for k, v in out.items()})
 
