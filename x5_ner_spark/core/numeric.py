@@ -85,7 +85,9 @@ from functools import lru_cache
 
 @lru_cache(maxsize=256)
 def _tokenize_cached(text: str) -> tuple[tuple[str, int, int], ...]:
-    return tuple((m.group(0), m.start(), m.end()) for m in WORD_RE.finditer(text))
+    # listcomp (not genexpr) — tuple() over a list skips 200k+ generator
+    # resumptions per 4k-doc batch
+    return tuple([(m.group(0), m.start(), m.end()) for m in WORD_RE.finditer(text)])
 
 
 def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
@@ -107,8 +109,16 @@ _WORDNUM_TRIGGERS = (
 )
 
 
+import re as _stdre
+
+_DIGIT_RE = _stdre.compile(r"\d")  # unicode \d == \p{Nd} exactly
+
+
 def _has_digit(text: str) -> bool:
-    return any(c.isdigit() for c in text)
+    # C-level scan; \p{Nd} is precisely what the gated digit regexes
+    # require, so this stays a valid (exact) superset gate. (The previous
+    # per-char isdigit() genexpr was ~500k next() calls per 4k-doc batch.)
+    return _DIGIT_RE.search(text) is not None
 
 
 def _has_wordnum_trigger(low: str) -> bool:
@@ -269,13 +279,16 @@ def _split_spaced(text: str, spans: list[Span], base: str) -> list[Span]:
     return out
 
 
+_RE_MULTIPLIER_CHAR = _rx.compile(r"[x×*]")
+
+
 def _split_multipack(text: str, spans: list[Span]) -> list[Span]:
     """Split B-VOLUME at the first x/×/* multiplier char
     (ref: improved_preprocessing.py:336-361)."""
     out: list[Span] = []
     for s, e, tag in spans:
         if tag == "B-VOLUME":
-            m = _rx.search(r"[x×*]", text[s:e])
+            m = _RE_MULTIPLIER_CHAR.search(text[s:e])
             if m:
                 cut = s + m.start()
                 if s < cut < e:
