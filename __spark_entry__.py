@@ -419,6 +419,13 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(docs, pairs)
 
 
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality filter (word bounds, mean word length,
+    alpha fraction, duplicate-3-gram repetition, stopword presence) — all
+    native HOF expressions, map-only."""
+    return text_stats.gopher_filters(_t(spark, sf_dir, "documents"))
+
+
 def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup, PRODUCTION path (the 100 TB shape): MinHash-LSH band
     buckets → candidate pairs → exact Jaccard rescore → connected components
@@ -581,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision_log": q_decision_log,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_lsh": q_near_dup_clusters_lsh,
+        "gopher_filters": q_gopher_filters,
         "scrub_pii": q_scrub_pii,
         "decision_log_lex": q_decision_log_lex,
         "pagerank": q_pagerank,
@@ -1062,6 +1070,45 @@ def oracle_sql() -> dict[str, str]:
         bands AS ({band_selects})
         SELECT band, bucket, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
         FROM bands GROUP BY band, bucket HAVING COUNT(*) > 1
+    """
+
+    from x5_ner_spark.operators.text_stats import (
+        EN_STOPWORDS, RU_STOPWORDS,
+        GOPHER_MIN_WORDS, GOPHER_MAX_WORDS, GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MAX_MEAN_WORD_LEN, GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MAX_DUP_3GRAM_FRAC, GOPHER_MIN_STOPWORD_HITS,
+    )
+
+    stoplist = ", ".join(f"'{w}'" for w in EN_STOPWORDS + RU_STOPWORDS)
+    sql["gopher_filters"] = f"""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+            CAST(len(toks) AS INT) AS n_words,
+            ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                  / len(toks), 4) AS mean_word_len,
+            ROUND(CAST(len(list_filter(toks, x ->
+                    regexp_matches(x, '[A-Za-zА-Яа-яё]'))) AS DOUBLE)
+                  / len(toks), 4) AS alpha_word_frac,
+            CASE WHEN len(toks) >= 3 THEN
+              ROUND(1.0 - CAST(len(list_distinct(list_transform(
+                      range(len(toks) - 2),
+                      i -> array_to_string(toks[i+1:i+3], ' ')))) AS DOUBLE)
+                    / (len(toks) - 2), 4)
+            ELSE 0.0 END AS dup_3gram_frac,
+            CAST(len(list_filter(toks, x -> lower(x) IN ({stoplist}))) AS INT)
+              AS stopword_hits
+          FROM t)
+        SELECT *,
+          (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+           AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+           AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+           AND alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+           AND dup_3gram_frac <= {GOPHER_MAX_DUP_3GRAM_FRAC}
+           AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS keep
+        FROM f
     """
 
     sql["near_dup_clusters_lsh"] = f"""

@@ -33,8 +33,8 @@ HEADLINE = [
     # round 2 additions (headline grew — totals are not comparable to
     # BENCH_r01 without subtracting these)
     "near_dup_clusters", "scrub_pii", "decision_log",
-    # round 3: the production (LSH-candidate) dedup path
-    "near_dup_clusters_lsh",
+    # round 3: the production (LSH-candidate) dedup path + corpus filter
+    "near_dup_clusters_lsh", "gopher_filters",
 ]
 PIPELINE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 

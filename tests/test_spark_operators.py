@@ -289,3 +289,33 @@ def test_asof_join_tie_determinism(spark):
         )
         out = W.asof_join(left, right, "user_id", "ts", ["value"]).collect()
         assert len(out) == 1 and out[0]["asof_value"] == 9.0, (n_parts, out)
+
+
+def test_gopher_filters_rules_and_edges(spark):
+    """Gopher-style quality filter: rule semantics on crafted docs, incl. the
+    n_words<3 edge (the 3-gram branch must not evaluate a negative-length
+    sequence) and a pathological repetition doc."""
+    from pyspark.sql import functions as F
+
+    from x5_ner_spark.operators import text_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "молоко и хлеб на столе дома"),            # healthy → keep
+            (2, "x"),                                      # 1 word → too short
+            (3, "и " * 40 + "и"),                          # repetition + short words
+            (4, "1 2 3 4 5 6 7 8 и"),                      # numeric: low alpha frac
+            (5, "the quick brown fox jumps over dogs"),    # healthy en → keep
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_stats.gopher_filters(docs).collect()}
+    assert out[1]["keep"] is True and out[5]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] == 1
+    assert out[2]["dup_3gram_frac"] == 0.0  # short-doc branch, no error
+    assert out[3]["keep"] is False  # dup 3-gram fraction ~1.0 and mean len 1
+    assert out[3]["dup_3gram_frac"] > 0.9
+    assert out[4]["keep"] is False and out[4]["alpha_word_frac"] < 0.6
+    # map-only: no Exchange anywhere in the plan
+    plan = text_stats.gopher_filters(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -98,6 +98,68 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+# Gopher-style corpus filter thresholds (Rae et al. 2021, table A1),
+# adapted to short product/web texts where noted; pinned spec, mirrored by
+# the DuckDB oracle.
+GOPHER_MIN_WORDS = 5          # Gopher: 50 (adapted: short docs)
+GOPHER_MAX_WORDS = 10_000     # Gopher: 100k
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.6   # Gopher: 0.8 (adapted: numeric suffixes)
+GOPHER_MAX_DUP_3GRAM_FRAC = 0.5
+GOPHER_MIN_STOPWORD_HITS = 1       # Gopher: 2 of a fixed list
+_LETTER_CLASS = "[A-Za-zА-Яа-яё]"
+
+
+def gopher_filters(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality filter — the standard LLM-training
+    corpus hygiene pass: word-count bounds, mean word length, alphabetic-word
+    fraction, duplicate-3-gram fraction (within-doc repetition), stopword
+    presence; per-rule flags plus the composite ``keep``.
+
+    Entirely native higher-order-function expressions over the token array —
+    no explode, no shuffle, no Python: at 100 TB this runs inside the scan's
+    projection (map-only, codegen), and the drop decision streams with the
+    row. Line-based rules (bullet/ellipsis line fractions) are not
+    replicated because the corpus schema's text is single-line; documented
+    deviation."""
+    toks = simple_tokens_col("text")
+    d = docs.select("doc_id", F.col("text"), toks.alias("toks"))
+    n_words = F.size("toks")
+    sum_len = F.aggregate(
+        F.transform("toks", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    alpha_words = F.size(F.filter("toks", lambda t: t.rlike(_LETTER_CLASS)))
+    stop_hits = F.size(
+        F.filter("toks", lambda t: F.lower(t).isin(EN_STOPWORDS + RU_STOPWORDS))
+    )
+    idx = F.sequence(F.lit(0), n_words - 3)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)))
+    dup_frac = F.when(
+        n_words >= 3,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 4),
+    ).otherwise(F.lit(0.0))
+
+    d = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(sum_len / n_words, 4).alias("mean_word_len"),
+        F.round(alpha_words / n_words, 4).alias("alpha_word_frac"),
+        dup_frac.alias("dup_3gram_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    rules = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("dup_3gram_frac") <= GOPHER_MAX_DUP_3GRAM_FRAC)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return d.withColumn("keep", rules)
+
+
 # PII scrubbing (training-data hygiene): ordered patterns, each valid in BOTH
 # Java regex (Spark) and RE2 (DuckDB) — no lookarounds, no backrefs. Order
 # matters (URLs can contain '@'; scrub them before emails).
