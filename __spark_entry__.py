@@ -426,6 +426,39 @@ def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats.gopher_filters(_t(spark, sf_dir, "documents"))
 
 
+_URL_CASE_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&q=1#frag' "
+    "WHEN doc_id % 3 = 1 THEN '?fbclid=abc&utm_medium=mail' ELSE '/' END"
+)
+
+
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic URL fixture from doc_id (the test tables carry no url
+    column); mirrored literally by the oracle SQL so the gate exercises the
+    canonicalization semantics end to end."""
+    return docs.select(
+        F.concat(
+            F.lit("HTTPS://Site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".Example:443/Path/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=x&q=1#frag"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?fbclid=abc&utm_medium=mail"))
+            .otherwise(F.lit("/")),
+        ).alias("url")
+    )
+
+
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL canonicalization (dedup/revisit key): lowercase
+    scheme+host, strip default port / fragment / tracking params / trailing
+    slash — native regexp, map-only."""
+    return text_stats.canonical_urls(_synth_urls(_t(spark, sf_dir, "documents")))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 tf-idf terms (smooth idf), deterministic tiebreak."""
+    return text_stats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup, PRODUCTION path (the 100 TB shape): MinHash-LSH band
     buckets → candidate pairs → exact Jaccard rescore → connected components
@@ -589,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_lsh": q_near_dup_clusters_lsh,
         "gopher_filters": q_gopher_filters,
+        "canonical_urls": q_canonical_urls,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "scrub_pii": q_scrub_pii,
         "decision_log_lex": q_decision_log_lex,
         "pagerank": q_pagerank,
@@ -1109,6 +1144,53 @@ def oracle_sql() -> dict[str, str]:
            AND dup_3gram_frac <= {GOPHER_MAX_DUP_3GRAM_FRAC}
            AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS keep
         FROM f
+    """
+
+    # URL canonicalization: the synthetic url construction and every regexp
+    # rule mirror text_stats.canonical_urls verbatim (RE2-safe patterns;
+    # DuckDB backrefs are \\1 where Spark uses $1)
+    track = r"([?&])(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&"
+    sql["canonical_urls"] = rf"""
+        WITH u AS (
+          SELECT 'HTTPS://Site' || CAST(doc_id % 50 AS VARCHAR) ||
+                 '.Example:443/Path/' || CAST(doc_id AS VARCHAR) ||
+                 {_URL_CASE_SQL} AS url
+          FROM documents),
+        h AS (SELECT url,
+                     regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head
+              FROM u),
+        c0 AS (SELECT url, lower(head) || substr(url, length(head) + 1) AS c FROM h),
+        c1 AS (SELECT url, regexp_replace(c, '#.*$', '') AS c FROM c0),
+        c2 AS (SELECT url, regexp_replace(c, '(://[^/:?#]+):(80|443)($|[/?])', '\1\3') AS c FROM c1),
+        c3 AS (SELECT url, regexp_replace(c, '{track}', '\1') AS c FROM c2),
+        c4 AS (SELECT url, regexp_replace(c, '{track}', '\1') AS c FROM c3),
+        c5 AS (SELECT url, regexp_replace(c, '[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', '') AS c FROM c4),
+        c6 AS (SELECT url, regexp_replace(c, '\?$', '') AS c FROM c5),
+        c7 AS (SELECT url, regexp_replace(c, '(.+?)/$', '\1') AS c FROM c6)
+        SELECT url, c AS canon_url,
+               lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+               regexp_extract(c, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path
+        FROM c7
+    """
+
+    sql["tfidf_top_terms"] = """
+        WITH toks AS (
+          SELECT doc_id, t.term FROM documents,
+          LATERAL unnest(string_split(lower(text), ' ')) AS t(term)
+          WHERE t.term <> ''),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        idf AS (SELECT term, ln((n.n_docs + 1.0) / (COUNT(*) + 1.0)) + 1.0 AS idf
+                FROM tf, n GROUP BY term, n.n_docs),
+        scored AS (
+          SELECT doc_id, term, ROUND(tf * idf, 4) AS tfidf
+          FROM tf JOIN idf USING (term)),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored)
+        SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
     """
 
     sql["near_dup_clusters_lsh"] = f"""

@@ -319,3 +319,39 @@ def test_gopher_filters_rules_and_edges(spark):
     # map-only: no Exchange anywhere in the plan
     plan = text_stats.gopher_filters(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_canonical_urls_pinned_vectors(spark):
+    from x5_ner_spark.operators import text_stats
+
+    cases = {
+        "HTTPS://Example.COM:443/a/b?utm_source=x&q=1#f": "https://example.com/a/b?q=1",
+        "http://Host:80": "http://host",
+        "https://h/x/": "https://h/x",
+        "https://h/p?fbclid=z": "https://h/p",
+        "https://h/p?utm_a=1&utm_b=2&q=3": "https://h/p?q=3",
+        "https://h/p?a=1&gclid=xyz": "https://h/p?a=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = {r["url"]: r for r in text_stats.canonical_urls(df).collect()}
+    for u, want in cases.items():
+        assert out[u]["canon_url"] == want, (u, out[u]["canon_url"])
+    assert out["HTTPS://Example.COM:443/a/b?utm_source=x&q=1#f"]["host"] == "example.com"
+    assert out["HTTPS://Example.COM:443/a/b?utm_source=x&q=1#f"]["path"] == "/a/b"
+
+
+def test_tfidf_top_terms_semantics(spark):
+    from x5_ner_spark.operators import text_stats
+
+    docs = spark.createDataFrame(
+        [(1, "редкое слово"), (2, "слово обычное"), (3, "слово тут")],
+        "doc_id long, text string",
+    )
+    out = text_stats.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tfidf"]))
+    # 'слово' appears in every doc → lowest idf; rarer terms outrank it
+    top1 = {d: sorted(v)[0][1] for d, v in by_doc.items()}
+    assert top1[1] == "редкое" and top1[2] == "обычное" and top1[3] == "тут"
+    assert all(len(v) == 2 for v in by_doc.values())

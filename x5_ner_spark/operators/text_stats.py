@@ -160,6 +160,73 @@ def gopher_filters(docs: DataFrame) -> DataFrame:
     return d.withColumn("keep", rules)
 
 
+def canonical_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Web-corpus URL canonicalization — the key under which crawl dedup and
+    revisit-diffing happen: lowercase scheme+host, strip the default port,
+    drop the fragment and common tracking query params (utm_*, fbclid,
+    gclid), remove a trailing slash on the path. Emits (url, canon_url,
+    host, path). Pure native string/regexp expressions (map-only, codegen);
+    every regex is valid in both Java regex and RE2 so the DuckDB oracle
+    replays it verbatim."""
+    u = F.col(url_col)
+    # scheme://host[:port] is case-insensitive; path/query are not
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(head) + F.lit(1), F.length(u))
+    c = F.concat(F.lower(head), rest)
+    c = F.regexp_replace(c, r"#.*$", "")                       # fragment
+    # no lookarounds (RE2): the char after the port (or end) is captured and
+    # re-emitted; an unmatched $-alternative group substitutes empty in both
+    # Java regex and RE2
+    c = F.regexp_replace(c, r"(://[^/:?#]+):(80|443)($|[/?])", "$1$3")
+    # tracking params: (a) param followed by another param keeps its leading
+    # separator for the successor (applied twice: covers runs of ≤3 adjacent
+    # tracking params — documented bound); (b) param at end drops separator
+    track = r"([?&])(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&"
+    c = F.regexp_replace(c, track, "$1")
+    c = F.regexp_replace(c, track, "$1")
+    c = F.regexp_replace(c, r"[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$", "")
+    c = F.regexp_replace(c, r"\?$", "")                        # bare trailing ?
+    c = F.regexp_replace(c, r"(.+?)/$", "$1")                  # trailing slash
+    return pages.select(
+        u.alias("url"),
+        c.alias("canon_url"),
+        F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1)).alias("host"),
+        F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1).alias("path"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf-idf (smooth idf = ln((N+1)/(df+1))+1),
+    deterministic tiebreak (score desc, term asc). The classic two-aggregate
+    shape: term counts per doc (one shuffle on (doc_id, term)), document
+    frequencies (one shuffle on term, map-side combined), broadcast-joined
+    back, per-doc top-k via a bounded window. At 100 TB the df table is
+    vocabulary-sized (Zipf: millions, not trillions) and the window key is
+    doc_id — no global sort anywhere."""
+    spark = docs.sparkSession
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(simple_tokens_col(F.lower("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select("doc_id").distinct().count()
+    idf = df_.select(
+        "term",
+        (F.log((float(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # PII scrubbing (training-data hygiene): ordered patterns, each valid in BOTH
 # Java regex (Spark) and RE2 (DuckDB) — no lookarounds, no backrefs. Order
 # matters (URLs can contain '@'; scrub them before emails).
