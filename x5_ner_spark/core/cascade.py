@@ -62,6 +62,123 @@ def _fallback_label(p_type: float, base_label: str = "B-TYPE") -> str:
     return base_label if p_type >= 0.15 else "O"
 
 
+def _decide_one_word(
+    token_text: str,
+    p: tuple,
+    brand_lexicon: frozenset[str],
+    lex_fs: frozenset[str],
+    has_lex: bool,
+    brand_thresh: float,
+    entity_thresh: float,
+    use_wratio: bool,
+) -> tuple:
+    """Position-independent part of the cascade for ONE word: everything
+    except the B-/I- prefix (a pure function of the previous word's base,
+    applied by the caller) and the break side effect. Returns
+    (break_cond, base, reason, log_fields) where base ∈ {'BRAND','TYPE','O'}
+    and log_fields is the rounded-feature tuple the decision log emits.
+
+    Factored out so the sequence loop can MEMOIZE it per (token, probs)
+    (:func:`_decide_one_word_cached`): in the batch kernel the probs tuple
+    is the per-key cached object, so on a Zipf corpus repeated tokens skip
+    the whole ladder. The loop body is byte-for-byte the pre-factoring
+    logic (differential + fuzz + decision-log suites pin it)."""
+    tok_norm = norm_token_simple(token_text)
+
+    p_o = float(p[_IDX["O"]])
+    p_bb, p_ib = float(p[_IDX["B-BRAND"]]), float(p[_IDX["I-BRAND"]])
+    p_bt, p_it = float(p[_IDX["B-TYPE"]]), float(p[_IDX["I-TYPE"]])
+    p_brand, p_brand_sum = max(p_bb, p_ib), p_bb + p_ib
+    p_type, p_type_sum = max(p_bt, p_it), p_bt + p_it
+
+    tok_lex = lex_norm(token_text)
+    in_lex = tok_lex in brand_lexicon
+    fuzzy_hit = False
+    if not in_lex and has_lex:
+        if use_wratio and len(tok_lex) >= 3:
+            fuzzy_hit = wratio_lexicon_hit(tok_lex, lex_fs)
+        if not fuzzy_hit:
+            max_d = 1 if len(tok_lex) <= 6 else 2
+            fuzzy_hit = _fuzzy_hit_cached(tok_lex, lex_fs, max_d)
+
+    pure_lat = is_pure_latin(tok_norm)
+    short_lat = pure_lat and len(tok_norm) <= 2
+
+    # rule 0a: tiny low-confidence token aborts the loop (reference bug,
+    # reproduced intentionally — see module docstring)
+    if len(tok_norm) <= 2 and p_type < 0.4 and p_brand < 0.4:
+        return (True, "O", "", ())
+
+    # rule 0b: confidence ladder — first hit wins, BRAND > TYPE > O
+    base = ""
+    reason = ""
+    for t in _CONF_LADDER:
+        if p_brand_sum >= t * 1.3 or p_brand > t:
+            base = "BRAND"
+            reason = f"strong_brand_{t}"
+        elif p_type_sum >= t * 1.3 or p_type > t:
+            base = "TYPE"
+            reason = f"strong_type_{t}"
+        elif p_o >= t:
+            base = "O"
+            reason = f"strong_o_{t}"
+        if reason:
+            break
+
+    if not reason:
+        if short_lat and not in_lex and not fuzzy_hit:
+            base = "O"
+            reason = "short_lat_no_lex"
+        elif _looks_like_type_word(token_text):
+            strong_brand = p_brand >= max(brand_thresh, p_type + 0.20, entity_thresh + 0.10)
+            if strong_brand and (in_lex or fuzzy_hit):
+                base = "BRAND"
+                reason = "brand_over_type_very_strong"
+            elif p_type >= max(entity_thresh, p_brand + 0.07):
+                base = "TYPE"
+                reason = "clear_type"
+            else:
+                base = "TYPE" if p_type >= 0.15 else "O"
+                reason = "looks_type_guard"
+        elif in_lex or fuzzy_hit:
+            if p_type >= max(entity_thresh, p_brand + 0.07):
+                base = "TYPE"
+                reason = "type_over_lex"
+            elif p_brand >= 0.20 and p_brand >= p_type - 0.05:
+                base = "BRAND"
+                reason = "lex_or_fuzzy_brand"
+            else:
+                base = "TYPE" if p_type >= 0.15 else "O"
+                reason = "lex_conf_too_low"
+        elif p_type >= max(entity_thresh, p_brand + 0.07):
+            base = "TYPE"
+            reason = "clear_type"
+        elif p_brand >= max(brand_thresh, p_type + 0.10):
+            base = "BRAND"
+            reason = "clear_brand"
+        else:
+            base = "TYPE" if p_type >= 0.15 else "O"
+            reason = "fallback"
+
+    log_fields = (
+        round(p_brand, 3), round(p_type, 3), in_lex, fuzzy_hit,
+        pure_lat, short_lat, has_latin_vowel(tok_norm),
+        round(p_brand_sum, 3), round(p_type_sum, 3), round(p_o, 3),
+    )
+    return (False, base, reason, log_fields)
+
+
+@lru_cache(maxsize=1 << 16)
+def _decide_one_word_cached(
+    token_text: str, p: tuple, brand_lexicon: frozenset, lex_fs: frozenset,
+    has_lex: bool, brand_thresh: float, entity_thresh: float, use_wratio: bool,
+) -> tuple:
+    return _decide_one_word(
+        token_text, p, brand_lexicon, lex_fs, has_lex,
+        brand_thresh, entity_thresh, use_wratio,
+    )
+
+
 def decide_word_labels(
     text: str,
     word_spans: list[tuple[int, int]],
@@ -89,6 +206,7 @@ def decide_word_labels(
     (the ``break`` fires before the append) — both reproduced."""
     lex_list = brand_lexicon_list if brand_lexicon_list is not None else sorted(brand_lexicon)
     lex_fs = frozenset(lex_list)
+    has_lex = bool(lex_list)
     labels: dict[int, str] = {}
     prev_lab = "O"
 
@@ -97,108 +215,57 @@ def decide_word_labels(
             labels[wid] = "O"
             continue
         token_text = text[s:e]
-        tok_norm = norm_token_simple(token_text)
         p = word_probs[wid]
 
-        p_o = float(p[_IDX["O"]])
-        p_bb, p_ib = float(p[_IDX["B-BRAND"]]), float(p[_IDX["I-BRAND"]])
-        p_bt, p_it = float(p[_IDX["B-TYPE"]]), float(p[_IDX["I-TYPE"]])
-        p_brand, p_brand_sum = max(p_bb, p_ib), p_bb + p_ib
-        p_type, p_type_sum = max(p_bt, p_it), p_bt + p_it
-
-        tok_lex = lex_norm(token_text)
-        in_lex = tok_lex in brand_lexicon
-        fuzzy_hit = False
-        if not in_lex and lex_list:
-            if use_wratio and len(tok_lex) >= 3:
-                fuzzy_hit = wratio_lexicon_hit(tok_lex, lex_fs)
-            if not fuzzy_hit:
-                max_d = 1 if len(tok_lex) <= 6 else 2
-                fuzzy_hit = _fuzzy_hit_cached(tok_lex, lex_fs, max_d)
-
-        pure_lat = is_pure_latin(tok_norm)
-        short_lat = pure_lat and len(tok_norm) <= 2
+        # per-(token, probs) memo: in the batch kernel probs is the per-key
+        # cached tuple, so a Zipf-repeated token skips the whole cascade
+        # body; non-tuple probs (library callers passing lists) take the
+        # direct path — identical logic, no conversion cost
+        if type(p) is tuple:
+            brk, base, reason, log_fields = _decide_one_word_cached(
+                token_text, p, brand_lexicon, lex_fs, has_lex,
+                brand_thresh, entity_thresh, use_wratio,
+            )
+        else:
+            brk, base, reason, log_fields = _decide_one_word(
+                token_text, tuple(p), brand_lexicon, lex_fs, has_lex,
+                brand_thresh, entity_thresh, use_wratio,
+            )
 
         # rule 0a: tiny low-confidence token aborts the loop (reference bug,
         # reproduced intentionally — see module docstring); the reference
         # breaks BEFORE its log append, so no record for this word
-        if len(tok_norm) <= 2 and p_type < 0.4 and p_brand < 0.4:
+        if brk:
             if short_word_break:
                 break
             labels[wid] = "O"
             prev_lab = "O"
             continue
 
-        # rule 0b: confidence ladder — first hit wins, BRAND > TYPE > O
-        lab = ""
-        reason = ""
-        for t in _CONF_LADDER:
-            if p_brand_sum >= t * 1.3 or p_brand > t:
-                lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
-                reason = f"strong_brand_{t}"
-            elif p_type_sum >= t * 1.3 or p_type > t:
-                lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
-                reason = f"strong_type_{t}"
-            elif p_o >= t:
-                lab = "O"
-                reason = f"strong_o_{t}"
-            if reason:
-                break
-
-        if not reason:
-            if short_lat and not in_lex and not fuzzy_hit:
-                lab = "O"
-                reason = "short_lat_no_lex"
-            elif _looks_like_type_word(token_text):
-                strong_brand = p_brand >= max(brand_thresh, p_type + 0.20, entity_thresh + 0.10)
-                if strong_brand and (in_lex or fuzzy_hit):
-                    lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
-                    reason = "brand_over_type_very_strong"
-                elif p_type >= max(entity_thresh, p_brand + 0.07):
-                    lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
-                    reason = "clear_type"
-                else:
-                    lab = _fallback_label(p_type)
-                    reason = "looks_type_guard"
-            elif in_lex or fuzzy_hit:
-                if p_type >= max(entity_thresh, p_brand + 0.07):
-                    lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
-                    reason = "type_over_lex"
-                elif p_brand >= 0.20 and p_brand >= p_type - 0.05:
-                    lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
-                    reason = "lex_or_fuzzy_brand"
-                else:
-                    lab = _fallback_label(p_type)
-                    reason = "lex_conf_too_low"
-            elif p_type >= max(entity_thresh, p_brand + 0.07):
-                lab = "I-TYPE" if prev_lab.endswith("TYPE") else "B-TYPE"
-                reason = "clear_type"
-            elif p_brand >= max(brand_thresh, p_type + 0.10):
-                lab = "I-BRAND" if prev_lab.endswith("BRAND") else "B-BRAND"
-                reason = "clear_brand"
-            else:
-                lab = _fallback_label(p_type)
-                reason = "fallback"
-
-        # BIO continuity rewrite vs previous word (infer.py:399-405)
-        if lab != "O":
-            base = lab.split("-", 1)[-1]
+        # BIO continuity rewrite vs previous word (infer.py:399-405): the
+        # branch-local B-/I- choice of the pre-factoring code was always
+        # overwritten by this rewrite, so only the base survives
+        if base == "O":
+            lab = "O"
+        else:
             lab = f"I-{base}" if prev_lab.endswith(base) else f"B-{base}"
 
         labels[wid] = lab
         prev_lab = lab
 
         if log is not None:
+            (p_brand, p_type, in_lex, fuzzy_hit, pure_lat, short_lat,
+             has_vowel, p_brand_sum, p_type_sum, p_o) = log_fields
             log.append({
                 "token_text": token_text, "start": s, "end": e,
                 "label": lab, "reason": reason,
-                "p_brand": round(p_brand, 3), "p_type": round(p_type, 3),
+                "p_brand": p_brand, "p_type": p_type,
                 "in_lex": in_lex, "fuzzy_hit": fuzzy_hit,
                 "pure_lat": pure_lat, "short_lat": short_lat,
-                "has_vowel": has_latin_vowel(tok_norm),
-                "p_brand_sum": round(p_brand_sum, 3),
-                "p_type_sum": round(p_type_sum, 3),
-                "p_o": round(p_o, 3),
+                "has_vowel": has_vowel,
+                "p_brand_sum": p_brand_sum,
+                "p_type_sum": p_type_sum,
+                "p_o": p_o,
             })
 
     out: list[Span] = []
