@@ -61,12 +61,27 @@ def zero_after_prepositions(text: str, spans: list[Span]) -> list[Span]:
     itself zero its successor."""
     if not spans:
         return spans
-    out = [list(sp) for sp in spans]
+    out = list(spans)
     for i in range(len(out) - 1):
         s, e, tag = out[i]
         if tag == "O" and _prep_norm(text[s:e]) in _ZERO_NEXT_WORDS:
-            out[i + 1][2] = "O"
-    return [(int(a), int(b), str(c)) for a, b, c in out]
+            ns, ne, _ = out[i + 1]
+            out[i + 1] = (ns, ne, "O")  # successor read next iteration sees 'O'
+    return out
+
+
+_TAG_CORE_MEMO: dict[str, str | None] = {}
+
+
+def _tag_core(tag: str) -> str | None:
+    """tag → its '-'-suffix core ('B-TYPE' → 'TYPE', 'O' → None); memoized
+    (tiny tag vocabulary, one split per span per pass otherwise)."""
+    try:
+        return _TAG_CORE_MEMO[tag]
+    except KeyError:
+        core = tag.split("-", 1)[1] if "-" in tag else None
+        _TAG_CORE_MEMO[tag] = core
+        return core
 
 
 def stitch_consecutive_b_to_i(text: str, spans: list[Span]) -> list[Span]:
@@ -78,12 +93,12 @@ def stitch_consecutive_b_to_i(text: str, spans: list[Span]) -> list[Span]:
     prev_end: int | None = None
     prev_core: str | None = None
     for s, e, tag in sorted(spans, key=lambda x: (x[0], x[1], x[2])):
-        if tag.startswith("B-") and prev_core is not None:
-            core = tag.split("-", 1)[1]
+        if prev_core is not None and tag.startswith("B-"):
+            core = _tag_core(tag)
             if core == prev_core and only_separators(text, prev_end, s):
                 tag = f"I-{core}"
         out.append((s, e, tag))
-        core = tag.split("-", 1)[1] if "-" in tag else None
+        core = _tag_core(tag)
         if core in ("TYPE", "BRAND"):
             prev_end, prev_core = e, core
         else:
