@@ -459,6 +459,22 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampler: per-source deterministic hash-Bernoulli keep at
+    pinned fractions; per-source kept counts (the mixture audit)."""
+    from x5_ner_spark.operators.split import mix_sample
+
+    kept = mix_sample(_t(spark, sf_dir, "documents"), MIX_FRACTIONS)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup, PRODUCTION path (the 100 TB shape): MinHash-LSH band
     buckets → candidate pairs → exact Jaccard rescore → connected components
@@ -624,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,
         "canonical_urls": q_canonical_urls,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "mix_sample": q_mix_sample,
         "scrub_pii": q_scrub_pii,
         "decision_log_lex": q_decision_log_lex,
         "pagerank": q_pagerank,
@@ -1171,6 +1188,19 @@ def oracle_sql() -> dict[str, str]:
                lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS host,
                regexp_extract(c, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path
         FROM c7
+    """
+
+    mix_h = _H32.format(x="CAST(doc_id AS VARCHAR) || '#mix42'")
+    mix_conds = " OR ".join(
+        f"(source = '{s}' AND {mix_h} % 1000000 < {int(round(f * 1000000))})"
+        for s, f in sorted(MIX_FRACTIONS.items())
+    )
+    sql["mix_sample"] = f"""
+        SELECT source, COUNT(*) AS n_kept,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents
+        WHERE {mix_conds}
+        GROUP BY source
     """
 
     sql["tfidf_top_terms"] = """

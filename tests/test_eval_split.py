@@ -107,3 +107,24 @@ def test_stratified_split_exact_quotas(spark):
     a = {r["sample"]: r["split"] for r in out.collect()}
     b = {r["sample"]: r["split"] for r in stratified_split(df, val_size=0.25).collect()}
     assert a == b
+
+
+def test_mix_sample_deterministic_and_calibrated(spark):
+    """Mix sampler: reproducible keep set (pure hash of id+seed), unlisted
+    sources dropped, observed rates near the requested fractions, and the
+    keep decision is partitioning-independent."""
+    from x5_ner_spark.operators.split import mix_sample
+
+    rows = [(i, f"s{i % 2}") for i in range(2000)] + [(9999, "other")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    frac = {"s0": 0.3, "s1": 1.0}
+    a = {r["doc_id"] for r in mix_sample(docs, frac).collect()}
+    b = {r["doc_id"] for r in mix_sample(docs.repartition(13), frac).collect()}
+    assert a == b                      # layout-independent
+    assert 9999 not in a               # unlisted source drops
+    s0 = sum(1 for i in a if i % 2 == 0 and i != 9999)
+    s1 = sum(1 for i in a if i % 2 == 1)
+    assert s1 == 1000                  # fraction 1.0 keeps everything
+    assert 0.25 <= s0 / 1000 <= 0.35   # ~0.3 within binomial noise
+    c = {r["doc_id"] for r in mix_sample(docs, frac, seed=7).collect()}
+    assert c != a                      # seed changes the sample

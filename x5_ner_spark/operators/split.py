@@ -73,3 +73,31 @@ def stratified_split(
         .withColumn("split", F.when(F.col("rn") <= F.col("quota"), "val").otherwise("train"))
         .drop("rn", "quota")
     )
+
+
+def mix_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Training-mix sampler: per-source deterministic Bernoulli sampling at
+    the given fractions — how a 100 TB corpus is downweighted into a
+    training mixture (e.g. {'web': 0.1, 'wiki': 1.0}). The keep decision is
+    a pure hash of (id, seed), so it is reproducible across runs, engines
+    (md5-based portable_hash32), partitionings and resumes — no RNG state,
+    no sampleBy nondeterminism. Map-only: the filter rides the scan;
+    unlisted sources drop (explicit mixture contract). Fraction granularity
+    is 1e-6."""
+    million = 1_000_000
+    expr = None
+    for src, frac in sorted(fractions.items()):
+        thresh = int(round(min(max(frac, 0.0), 1.0) * million))
+        cond = (F.col(source_col) == src) & (
+            portable_hash32(
+                F.concat(F.col(id_col).cast("string"), F.lit(f"#mix{seed}"))
+            ) % million < thresh
+        )
+        expr = cond if expr is None else (expr | cond)
+    return docs.filter(expr if expr is not None else F.lit(False))
