@@ -119,6 +119,82 @@ class NpzMlpProvider:
         return e / e.sum(axis=1, keepdims=True)
 
 
+# ------------------------------------------------------------- training math
+# Pure-numpy softmax-CE gradients for the same 2-layer MLP the provider
+# serves — the distributed trainer (operators/emission_train.py) computes
+# per-partition gradient sums with these and the driver applies the update
+# (full-batch GD, the classic MLlib shape). Mirrors what the reference's
+# torch trainer produces for its head (ner/train.py:31-62) at the scale this
+# sandbox can verify: analytic grads are numerically checked in tests.
+
+
+def featurize_batch(tokens_conts: "list[tuple[str, bool]]", n_features: int) -> np.ndarray:
+    """Dense feature matrix for a token batch — same hashed char-trigram bag
+    + continuation flag the provider's forward consumes."""
+    x = np.zeros((len(tokens_conts), n_features + 1))
+    for r, (tok, cont) in enumerate(tokens_conts):
+        for j in _gram_indices(tok, n_features):
+            x[r, j] += 1.0
+        if cont:
+            x[r, n_features] = 1.0
+    return x
+
+
+def mlp_loss_and_grads(
+    params: dict, x: np.ndarray, y: np.ndarray,
+) -> tuple[float, dict]:
+    """Summed (not averaged) cross-entropy loss and parameter gradients for
+    a batch — sums add across partitions, so the driver can normalize by the
+    global count after aggregation."""
+    w1, b1, w2, b2 = params["w1"], params["b1"], params["w2"], params["b2"]
+    h_pre = x @ w1 + b1
+    h = np.maximum(h_pre, 0.0)
+    logits = h @ w2 + b2
+    m = logits.max(axis=1, keepdims=True)
+    e = np.exp(logits - m)
+    p = e / e.sum(axis=1, keepdims=True)
+    n = x.shape[0]
+    loss = float(-np.log(np.clip(p[np.arange(n), y], 1e-12, None)).sum())
+    g_logits = p
+    g_logits[np.arange(n), y] -= 1.0
+    g_h = g_logits @ w2.T
+    g_h[h_pre <= 0.0] = 0.0
+    return loss, {
+        "w1": x.T @ g_h,
+        "b1": g_h.sum(axis=0),
+        "w2": h.T @ g_logits,
+        "b2": g_logits.sum(axis=0),
+    }
+
+
+def init_mlp_params(n_features: int = 256, hidden: int = 32, seed: int = 7) -> dict:
+    """Same deterministic init as write_npz_checkpoint (float64 working
+    copies)."""
+    rng = np.random.RandomState(seed)
+    d_in = n_features + 1
+    return {
+        "w1": (rng.randn(d_in, hidden) / np.sqrt(d_in)),
+        "b1": 0.01 * rng.randn(hidden),
+        "w2": (rng.randn(hidden, N_CLASSES) / np.sqrt(hidden)),
+        "b2": 0.01 * rng.randn(N_CLASSES),
+        "n_features": n_features,
+    }
+
+
+def save_params_npz(params: dict, path: str) -> str:
+    """Persist trained params in the exact layout NpzMlpProvider loads."""
+    np.savez(
+        path,
+        w1=params["w1"].astype("float32"),
+        b1=params["b1"].astype("float32"),
+        w2=params["w2"].astype("float32"),
+        b2=params["b2"].astype("float32"),
+        n_features=np.array(params["n_features"], dtype="int64"),
+        seed=np.array(-1, dtype="int64"),
+    )
+    return path
+
+
 _PROVIDERS: dict[str, tuple[float, NpzMlpProvider]] = {}
 
 
