@@ -94,3 +94,66 @@ def test_fit_deterministic(spark, tmp_path):
     zc = np.load(p3)
     for k in ("w1", "b1", "w2", "b2"):
         assert np.array_equal(za[k], zc[k]), k
+
+
+def test_crf_nll_gradients_match_numerical():
+    from x5_ner_spark.core.crf import crf_nll_and_grads
+
+    rng = np.random.RandomState(5)
+    for T in (1, 2, 5):
+        C = 4
+        em = rng.randn(T, C)
+        start, trans, end = rng.randn(C), rng.randn(C, C), rng.randn(C)
+        tags = rng.randint(0, C, size=T)
+        nll, g = crf_nll_and_grads(em, tags, start, trans, end)
+        assert nll >= -1e-9  # NLL of one path vs logZ is non-negative
+        eps = 1e-6
+
+        def num(fn_set, fn_unset):
+            fn_set(eps); lp, _ = crf_nll_and_grads(em, tags, start, trans, end)
+            fn_set(-2 * eps); lm, _ = crf_nll_and_grads(em, tags, start, trans, end)
+            fn_set(eps)
+            return (lp - lm) / (2 * eps)
+
+        for arr, ga in ((em, g["emissions"]), (start, g["start"]),
+                        (trans, g["trans"]), (end, g["end"])):
+            for _ in range(4):
+                idx = tuple(rng.randint(0, d) for d in arr.shape)
+                def bump(d, idx=idx, arr=arr):
+                    arr[idx] += d
+                n = num(bump, None)
+                assert abs(n - ga[idx]) < 1e-5, (T, arr.shape, idx, n, ga[idx])
+
+
+def test_fit_crf_descends_and_decodes_like_teacher(spark, tmp_path):
+    from x5_ner_spark.core.crf import viterbi_decode_batch
+    from x5_ner_spark.operators.emission_train import (
+        fit_crf_npz,
+        load_crf_params_npz,
+        teacher_sequences,
+    )
+    from x5_ner_spark.pipeline.extract import run as extract_run
+    from x5_ner_spark.pipeline.fixtures import pages_df
+
+    docs = extract_run(pages_df(spark, 200, sentences=2)).select("text")
+    seqs = teacher_sequences(docs).persist()
+    path = str(tmp_path / "crf_joint.npz")
+    hist: list = []
+    fit_crf_npz(seqs, path, iters=20, lr=0.8, seed=7, loss_history=hist)
+
+    assert len(hist) == 20 and hist[-1] < 0.6 * hist[0], (hist[0], hist[-1])
+
+    # decode with the trained joint model reproduces the teacher's tags
+    start, trans, end = load_crf_params_npz(path)
+    prov = E.provider_for(path)
+    rows = seqs.collect()
+    seqs.unpersist()
+    total = correct = 0
+    ems = [prov.batch_logits(list(zip(r["tokens"], r["conts"]))) for r in rows]
+    paths = viterbi_decode_batch(ems, start, trans, end)
+    for r, p in zip(rows, paths):
+        for want, got in zip(r["tags"], p):
+            total += 1
+            correct += int(want == got)
+    assert total > 500
+    assert correct / total >= 0.85, correct / total

@@ -72,6 +72,62 @@ def mle_crf_params(
     return start, trans, end
 
 
+def _logsumexp(a: np.ndarray, axis: int) -> np.ndarray:
+    m = a.max(axis=axis, keepdims=True)
+    return (m + np.log(np.exp(a - m).sum(axis=axis, keepdims=True))).squeeze(axis)
+
+
+def crf_nll_and_grads(
+    emissions: np.ndarray, tags: "list[int] | np.ndarray",
+    start: np.ndarray, trans: np.ndarray, end: np.ndarray,
+) -> tuple[float, dict]:
+    """Linear-chain CRF negative log-likelihood of the gold ``tags`` and its
+    gradients wrt (emissions, start, trans, end) — exact forward-backward in
+    log space; gradient = expected feature count − empirical count. This is
+    the training-side twin of :func:`viterbi_decode` (same potential
+    definition: start[y0] + Σ emis[t,yt] + Σ trans[y_{t-1},yt] + end[yT];
+    ref analog: the TorchCRF NLL the reference minimizes, train.py:52-62).
+    Numerically checked against finite differences (tests)."""
+    em = np.asarray(emissions, dtype="float64")
+    y = np.asarray(tags, dtype="int64")
+    t_len, c = em.shape
+    assert t_len == len(y) and t_len >= 1
+
+    alpha = np.empty((t_len, c))
+    alpha[0] = start + em[0]
+    for t in range(1, t_len):
+        alpha[t] = em[t] + _logsumexp(alpha[t - 1][:, None] + trans, axis=0)
+    log_z = float(_logsumexp((alpha[t_len - 1] + end)[None, :], axis=1)[0])
+
+    beta = np.empty((t_len, c))
+    beta[t_len - 1] = end
+    for t in range(t_len - 2, -1, -1):
+        beta[t] = _logsumexp(trans + (em[t + 1] + beta[t + 1])[None, :], axis=1)
+
+    gamma = np.exp(alpha + beta - log_z)  # unary marginals (T, C)
+
+    gold = float(start[y[0]] + em[np.arange(t_len), y].sum() + end[y[-1]])
+    g_trans = np.zeros_like(trans)
+    for t in range(1, t_len):
+        gold += float(trans[y[t - 1], y[t]])
+        xi = np.exp(
+            alpha[t - 1][:, None] + trans + (em[t] + beta[t])[None, :] - log_z
+        )
+        g_trans += xi
+        g_trans[y[t - 1], y[t]] -= 1.0
+
+    g_em = gamma.copy()
+    g_em[np.arange(t_len), y] -= 1.0
+    g_start = gamma[0].copy()
+    g_start[y[0]] -= 1.0
+    g_end = gamma[t_len - 1].copy()
+    g_end[y[-1]] -= 1.0
+
+    return log_z - gold, {
+        "emissions": g_em, "start": g_start, "trans": g_trans, "end": g_end,
+    }
+
+
 def viterbi_decode(emissions: np.ndarray, start: np.ndarray, trans: np.ndarray,
                    end: np.ndarray) -> list[int]:
     """Single sequence (T, C) → best label path (list of T ids)."""

@@ -140,16 +140,36 @@ def featurize_batch(tokens_conts: "list[tuple[str, bool]]", n_features: int) -> 
     return x
 
 
+def mlp_forward(params: dict, x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h_pre, h, logits) — the intermediates the backward pass needs."""
+    h_pre = x @ params["w1"] + params["b1"]
+    h = np.maximum(h_pre, 0.0)
+    return h_pre, h, h @ params["w2"] + params["b2"]
+
+
+def mlp_backward(
+    params: dict, x: np.ndarray, h_pre: np.ndarray, h: np.ndarray,
+    g_logits: np.ndarray,
+) -> dict:
+    """Parameter gradients given dLoss/dLogits (chain-rule entry point for
+    any head — softmax CE or the CRF NLL's expected-minus-empirical)."""
+    g_h = g_logits @ params["w2"].T
+    g_h[h_pre <= 0.0] = 0.0
+    return {
+        "w1": x.T @ g_h,
+        "b1": g_h.sum(axis=0),
+        "w2": h.T @ g_logits,
+        "b2": g_logits.sum(axis=0),
+    }
+
+
 def mlp_loss_and_grads(
     params: dict, x: np.ndarray, y: np.ndarray,
 ) -> tuple[float, dict]:
     """Summed (not averaged) cross-entropy loss and parameter gradients for
     a batch — sums add across partitions, so the driver can normalize by the
     global count after aggregation."""
-    w1, b1, w2, b2 = params["w1"], params["b1"], params["w2"], params["b2"]
-    h_pre = x @ w1 + b1
-    h = np.maximum(h_pre, 0.0)
-    logits = h @ w2 + b2
+    h_pre, h, logits = mlp_forward(params, x)
     m = logits.max(axis=1, keepdims=True)
     e = np.exp(logits - m)
     p = e / e.sum(axis=1, keepdims=True)
@@ -157,14 +177,7 @@ def mlp_loss_and_grads(
     loss = float(-np.log(np.clip(p[np.arange(n), y], 1e-12, None)).sum())
     g_logits = p
     g_logits[np.arange(n), y] -= 1.0
-    g_h = g_logits @ w2.T
-    g_h[h_pre <= 0.0] = 0.0
-    return loss, {
-        "w1": x.T @ g_h,
-        "b1": g_h.sum(axis=0),
-        "w2": h.T @ g_logits,
-        "b2": g_logits.sum(axis=0),
-    }
+    return loss, mlp_backward(params, x, h_pre, h, g_logits)
 
 
 def init_mlp_params(n_features: int = 256, hidden: int = 32, seed: int = 7) -> dict:
