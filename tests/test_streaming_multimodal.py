@@ -201,3 +201,29 @@ def test_stream_decision_log_matches_batch(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM dlog_stream").collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_triples_and_log_matches_batch(spark, tmp_path):
+    """The one-pass triples+log fused stage composes onto a stream and is
+    row-identical to the batch run over the same pages."""
+    from x5_ner_spark.pipeline.fixtures import pages_df
+    from x5_ner_spark.pipeline.fused import fused_triples_and_log
+    from x5_ner_spark.streaming import stream_pipeline
+
+    pdir = str(tmp_path / "pages_tl")
+    pages = pages_df(spark, 40, sentences=2)
+    pages.write.mode("overwrite").parquet(pdir)
+
+    lex = frozenset({"барни", "santa"})
+    want = sorted(tuple(r) for r in fused_triples_and_log(
+        spark.read.parquet(pdir), lex).collect())
+
+    stream = stream_pipeline.stream_pages(spark, pdir)
+    out = stream_pipeline.stream_triples_and_log(stream, lex)
+    q = (
+        out.writeStream.format("memory").queryName("tl_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = sorted(tuple(r) for r in spark.table("tl_stream").collect())
+    assert got == want and len(want) > 50

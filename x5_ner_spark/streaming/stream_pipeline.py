@@ -93,3 +93,19 @@ def stream_decision_log(
     docs = extract.run(pages_stream)
     keyed = docs.select(portable_hash32(F.col("url")).alias("doc_id"), "text")
     return decision_log(keyed, brand_lexicon)
+
+
+def stream_triples_and_log(
+    pages_stream: DataFrame, brand_lexicon=frozenset(),
+    emission_npz: str | None = None,
+) -> DataFrame:
+    """pages stream → the one-pass fused triples + S8 decision-log union
+    stream (rec_type column; pipeline/fused.fused_triples_and_log). Pure
+    map-only mapInPandas, so it composes onto any trigger with no state;
+    the optional npz emission checkpoint loads once per worker exactly as
+    in batch."""
+    from ..pipeline.fused import fused_triples_and_log
+
+    return fused_triples_and_log(
+        pages_stream, brand_lexicon, balance=False, emission_npz=emission_npz
+    )
