@@ -227,3 +227,88 @@ def test_stream_triples_and_log_matches_batch(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(tuple(r) for r in spark.table("tl_stream").collect())
     assert got == want and len(want) > 50
+
+
+def _tiny_bmp(arr):
+    """uint8 (h, w, 3) RGB → minimal 24-bit bottom-up BMP bytes."""
+    import struct
+
+    h, w, _ = arr.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    img = bytearray()
+    for r in range(h - 1, -1, -1):
+        row = bytearray()
+        for c in range(w):
+            rr, gg, bb = arr[r, c]
+            row += bytes((bb, gg, rr))
+        row += b"\x00" * (stride - len(row))
+        img += row
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(img), 0, 0, off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return bytes(hdr + img)
+
+
+def _tiny_wav(samples, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((np.asarray(samples) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_real_decoders_roundtrip_and_features():
+    import numpy as np
+
+    from x5_ner_spark.core import media as M
+
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(arr)), arr)
+    assert np.array_equal(M.decode_bmp(_tiny_bmp(arr)), arr)
+
+    f = M.image_feature(arr)
+    assert len(f) == 64 and all(0.0 <= v <= 1.0 for v in f)
+    # a uniform white image → all-ones thumbnail
+    white = np.full((16, 16, 3), 255, dtype=np.uint8)
+    assert all(abs(v - 1.0) < 1e-6 for v in M.image_feature(white))
+
+    t = np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)
+    x, rate = M.decode_wav(_tiny_wav(t))
+    assert rate == 8000 and abs(len(x) - 8000) <= 1
+    af = M.audio_feature(x, rate)
+    assert len(af) == 11
+    assert abs(af[0] - 1.0) < 1e-3            # duration ≈ 1 s
+    assert abs(af[1] - 0.7071) < 0.01         # sine RMS ≈ 1/√2
+    # 440 Hz sits in band 0 of 8 bands over 0..4000 Hz → dominant energy
+    assert af[3] == max(af[3:])
+
+
+def test_real_decode_spark_path(spark):
+    import numpy as np
+
+    from x5_ner_spark.core import media as M
+    from x5_ner_spark.operators import multimodal
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    wav = _tiny_wav(np.sin(2 * np.pi * 200 * np.arange(4000) / 8000))
+    rows = [
+        (1, "image", M.encode_ppm(arr), "image/x-portable-pixmap", 9, 12, None),
+        (2, "image", _tiny_bmp(arr), "image/bmp", 9, 12, None),
+        (3, "audio", wav, "audio/wav", 0, 0, 0.5),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r["feature"]
+           for r in multimodal.extract_features(media, decode="real").collect()}
+    want_img = M.image_feature(arr)
+    assert [round(v, 6) for v in out[1]] == [round(v, 6) for v in want_img]
+    assert [round(v, 6) for v in out[2]] == [round(v, 6) for v in want_img]
+    assert len(out[3]) == 11 and abs(out[3][0] - 0.5) < 1e-3

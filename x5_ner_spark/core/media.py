@@ -1,0 +1,138 @@
+"""REAL media decoding for library-free formats (pure stdlib + numpy).
+
+Round-1/2 stubbed ALL decoding behind NotImplementedError because the
+container lacks Pillow/librosa. That contract only actually applies to
+COMPRESSED formats — uncompressed containers need no codec:
+
+- PPM (P6): header + raw RGB bytes;
+- BMP (24/32-bit uncompressed BITMAPINFOHEADER): bottom-up padded rows;
+- WAV (PCM 8/16-bit): stdlib ``wave``.
+
+These decoders make the engine's multimodal path genuinely functional end
+to end for those formats (decode → feature extraction → Spark plumbing),
+while JPEG/PNG/MP4 keep the explicit plug-a-codec NotImplementedError.
+Features are real content statistics: images → 8×8 block-mean grayscale
+thumbnail (the classic perceptual-hash precursor); audio → RMS,
+zero-crossing rate, and log-energy in 8 FFT bands.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 array (h, w, 3)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header tokens: magic, width, height, maxval — whitespace/comment runs
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    i += 1  # single whitespace after maxval
+    raw = payload[i : i + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) → P6 bytes (fixture/round-trip helper)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP → uint8 array (h, w, 3) in RGB order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flip = h > 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    row_stride = ((w * bytes_pp + 3) // 4) * 4
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for r in range(h):
+        src = data_off + r * row_stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * bytes_pp, offset=src)
+        row = row.reshape(w, bytes_pp)
+        dest = (h - 1 - r) if flip else r
+        out[dest] = row[:, 2::-1][:, :3]  # BGR(A) → RGB
+    return out
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (float64 mono samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n = wf.getnframes()
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        ch = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def image_feature(arr: np.ndarray, grid: int = 8) -> list[float]:
+    """(h, w, 3) uint8 → 64-dim block-mean grayscale thumbnail in [0, 1]
+    (row-major) — deterministic, resolution-independent."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    out = np.empty((grid, grid))
+    for i in range(grid):
+        for j in range(grid):
+            y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            block = gray[min(y0, h - 1) : min(y1, h), min(x0, w - 1) : min(x1, w)]
+            out[i, j] = block.mean() if block.size else 0.0
+    return (out / 255.0).ravel().astype("float32").tolist()
+
+
+def audio_feature(samples: np.ndarray, rate: int, n_bands: int = 8) -> list[float]:
+    """Mono samples → [duration_s, rms, zero_crossing_rate,
+    log-energy × n_bands] (length 3 + n_bands)."""
+    n = len(samples)
+    if n == 0:
+        return [0.0] * (3 + n_bands)
+    dur = n / float(rate)
+    rms = float(np.sqrt((samples ** 2).mean()))
+    zcr = float((np.signbit(samples[1:]) != np.signbit(samples[:-1])).mean()) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(samples)) ** 2
+    bands = np.array_split(spec, n_bands)
+    energies = [float(np.log1p(b.sum())) for b in bands]
+    return [float(x) for x in ([dur, rms, zcr] + energies)]

@@ -1,11 +1,14 @@
 """Multimodal columns: opaque binary payloads + typed metadata, processed
 with Arrow-batched mapInPandas.
 
-Container has no image/audio libraries, so the DECODE step is stubbed two
-ways (per round-1 contract): ``decode=fake`` produces a deterministic
-hash-derived feature vector (testable end-to-end), ``decode=real`` raises
-NotImplementedError where Pillow/librosa would be called. The Spark-side
-plumbing — schema, batch iteration, partition sizing — is real and is what
+DECODE (round 3): genuinely REAL for library-free formats — PPM/uncompressed
+BMP images and PCM WAV audio decode with stdlib+numpy (core/media.py) and
+produce content features (8×8 grayscale thumbnail; duration/RMS/ZCR/FFT-band
+energies). Compressed formats (JPEG/PNG/MP4...) still raise
+NotImplementedError with the plug-a-codec contract, because the container
+has no Pillow/librosa/av (verified). ``decode=fake`` remains the
+deterministic hash stub for tests that don't care about content. The
+Spark-side plumbing — schema, batch iteration, partition sizing — is what
 matters at 100 TB: payload bytes never enter a shuffle; features are
 extracted in one pass and the binary column is dropped immediately after.
 """
@@ -36,10 +39,25 @@ def _fake_feature(payload: bytes | None, dim: int = 16) -> list[float]:
     return (rng.astype("float64") / 2**32).astype("float32").tolist()
 
 
-def _real_decode(payload: bytes, kind: str):
+def _real_decode(payload: bytes, kind: str, mime: str = "") -> list[float]:
+    """Real decode + content feature for library-free formats; the payload's
+    magic bytes decide (mime is advisory). Output length varies by modality
+    — image 64, audio 11 — callers treat it as an opaque vector."""
+    from ..core import media as M
+
+    if payload is None:
+        return []
+    payload = bytes(payload)
+    if payload.startswith(b"P6"):
+        return M.image_feature(M.decode_ppm(payload))
+    if payload.startswith(b"BM"):
+        return M.image_feature(M.decode_bmp(payload))
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return M.audio_feature(*M.decode_wav(payload))
     raise NotImplementedError(
-        "media decode requires Pillow/torchaudio/av, not available in this "
-        "container; plug the decoder in here (signature: bytes, kind -> ndarray)"
+        f"decode for {mime or kind!r} requires Pillow/torchaudio/av, not "
+        "available in this container; plug the codec in here "
+        "(signature: bytes, kind -> ndarray). PPM/BMP/WAV decode natively."
     )
 
 
@@ -52,9 +70,11 @@ def extract_features(media: DataFrame, decode: str = "fake", batch_rows: int = 2
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo : lo + batch_rows]
                 feats = []
-                for payload, kind in zip(chunk["payload"], chunk["kind"]):
+                for payload, kind, mime in zip(
+                    chunk["payload"], chunk["kind"], chunk["mime"]
+                ):
                     if decode == "real":
-                        feats.append(_real_decode(payload, kind))
+                        feats.append(_real_decode(payload, kind, mime or ""))
                     else:
                         feats.append(_fake_feature(payload))
                 yield pd.DataFrame(
