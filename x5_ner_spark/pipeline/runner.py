@@ -134,6 +134,19 @@ def main() -> None:
         help="weights-on-disk emission checkpoint (core/emission.py); "
              "loaded once per worker process — the real-model swap point",
     )
+    ap.add_argument(
+        "--fit-emission", default=None, metavar="OUT_NPZ",
+        help="TRAIN mode: distributed softmax-CE fit of the emission MLP on "
+             "stub-teacher labels over the input pages; saves OUT_NPZ "
+             "(servable via --emission-npz) and exits",
+    )
+    ap.add_argument(
+        "--fit-crf", default=None, metavar="OUT_NPZ",
+        help="TRAIN mode: joint exact-NLL fit of emission MLP + CRF on "
+             "stub-teacher tag sequences; saves OUT_NPZ and exits",
+    )
+    ap.add_argument("--train-iters", type=int, default=30)
+    ap.add_argument("--train-lr", type=float, default=0.8)
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -149,6 +162,31 @@ def main() -> None:
 
         lex = sorted(read_lexicon_set(spark, cfg["brand_lexicon_path"]))
     pages = spark.read.parquet(pages_path) if pages_path else pages_df(spark, n_pages)
+
+    if args.fit_emission or args.fit_crf:
+        from . import extract
+        from ..operators import emission_train as ET
+
+        docs = extract.run(pages).select("text")
+        hist: list = []
+        if args.fit_emission:
+            ET.fit_npz_emission(
+                ET.teacher_labels(docs), args.fit_emission,
+                iters=args.train_iters, lr=args.train_lr, loss_history=hist,
+            )
+            print({"mode": "fit_emission", "out": args.fit_emission,
+                   "iters": len(hist), "loss_first": round(hist[0], 4),
+                   "loss_last": round(hist[-1], 4)})
+        else:
+            ET.fit_crf_npz(
+                ET.teacher_sequences(docs), args.fit_crf,
+                iters=args.train_iters, lr=args.train_lr, loss_history=hist,
+            )
+            print({"mode": "fit_crf", "out": args.fit_crf,
+                   "iters": len(hist), "loss_first": round(hist[0], 4),
+                   "loss_last": round(hist[-1], 4)})
+        return
+
     out = run_pipeline(
         spark, pages, out_root=out_dir, brand_lexicon=lex,
         n_buckets=n_buckets, run_id=str(cfg["run_id"]),
