@@ -299,3 +299,13 @@ def test_cc_hub_skew_rounds_and_salted_path(spark):
     assert salted == plain
     plan = salted_count(edges, "src")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") >= 2 and "xxhash64" in plan
+
+
+def test_tfidf_idf_join_is_broadcast(spark, sf_dir):
+    """The idf table is vocabulary-sized: its join back onto tf must stay a
+    broadcast (no shuffle of the tf side on term)."""
+    from x5_ner_spark.operators import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = text_stats.tfidf_top_terms(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
