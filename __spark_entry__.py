@@ -475,6 +475,14 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per-source contiguous layout into 128-token
+    budget-aligned training packs (deterministic greedy-contiguous)."""
+    from x5_ner_spark.operators.split import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), budget_tokens=128)
+
+
 def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup, PRODUCTION path (the 100 TB shape): MinHash-LSH band
     buckets → candidate pairs → exact Jaccard rescore → connected components
@@ -641,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "tfidf_top_terms": q_tfidf_top_terms,
         "mix_sample": q_mix_sample,
+        "pack_documents": q_pack_documents,
         "scrub_pii": q_scrub_pii,
         "decision_log_lex": q_decision_log_lex,
         "pagerank": q_pagerank,
@@ -1201,6 +1210,25 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE {mix_conds}
         GROUP BY source
+    """
+
+    sql["pack_documents"] = """
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                      AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT *,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS "offset"
+          FROM t)
+        SELECT doc_id, source AS "group", n_tokens, "offset",
+               CAST(FLOOR("offset" / 128.0) AS BIGINT) AS pack_id,
+               FLOOR(("offset" + n_tokens - 1) / 128.0)
+                 > FLOOR("offset" / 128.0) AS spans_packs
+        FROM c
     """
 
     sql["tfidf_top_terms"] = """

@@ -128,3 +128,25 @@ def test_mix_sample_deterministic_and_calibrated(spark):
     assert 0.25 <= s0 / 1000 <= 0.35   # ~0.3 within binomial noise
     c = {r["doc_id"] for r in mix_sample(docs, frac, seed=7).collect()}
     assert c != a                      # seed changes the sample
+
+
+def test_pack_documents_semantics(spark):
+    """Sequence packing invariants: contiguous per-group offsets, budget-
+    aligned pack ids, straddle flag only for docs crossing a boundary."""
+    from x5_ner_spark.operators.split import pack_documents
+
+    rows = [(i, "a", 30) for i in range(10)] + [(100, "b", 250), (101, "b", 10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = sorted(
+        (r["group"], r["doc_id"], r["offset"], r["pack_id"], r["spans_packs"])
+        for r in pack_documents(docs, 100, count_col="n").collect()
+    )
+    a = [r for r in out if r[0] == "a"]
+    # contiguous layout: offsets 0,30,60,90,120,... pack = offset // 100
+    for k, (_, did, off, pid, spans) in enumerate(a):
+        assert off == 30 * k and pid == off // 100
+        assert spans == (off // 100 != (off + 29) // 100)
+    assert [r for r in a if r[4]][0][1] == 3  # doc at offset 90 straddles
+    b = {r[1]: r for r in out if r[0] == "b"}
+    assert b[100][2] == 0 and b[100][3] == 0 and b[100][4] is True  # 250 > budget
+    assert b[101][2] == 250 and b[101][3] == 2 and b[101][4] is False

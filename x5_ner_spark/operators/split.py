@@ -75,6 +75,45 @@ def stratified_split(
     )
 
 
+def pack_documents(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing — assign documents to fixed-token-budget training
+    packs (the standard LLM-pretraining batching step): within each
+    ``group_col`` stream, documents are laid out contiguously in ``id_col``
+    order and ``pack_id = floor(start_offset / budget)``, i.e. packs are
+    budget-aligned windows over the cumulative token stream. Deterministic
+    (pure function of the data), exact-oracle-able, and the window is keyed
+    by the group — no global sort; at 100 TB group_col is (source, shard).
+    A document longer than the budget spans packs by construction and gets
+    the pack its start falls into (documented greedy-contiguous semantics;
+    ``spans_packs`` marks it). Emits (id, group, n_tokens, offset, pack_id,
+    spans_packs)."""
+    n_tok = (
+        F.col(count_col)
+        if count_col
+        else F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    ).cast("long")
+    d = docs.select(
+        F.col(id_col), F.col(group_col).alias("group"), n_tok.alias("n_tokens")
+    )
+    w = Window.partitionBy("group").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        d.withColumn("offset", (cum - F.col("n_tokens")))
+        .withColumn("pack_id", F.floor(F.col("offset") / budget_tokens))
+        .withColumn(
+            "spans_packs",
+            (F.floor((F.col("offset") + F.col("n_tokens") - 1) / budget_tokens)
+             > F.col("pack_id")),
+        )
+    )
+
+
 def mix_sample(
     docs: DataFrame,
     fractions: dict[str, float],
