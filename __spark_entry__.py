@@ -475,6 +475,12 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning flags (code brace, policy phrases, qualifying
+    sentences) — map-only native HOFs."""
+    return text_stats.c4_filters(_t(spark, sf_dir, "documents"))
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: per-source contiguous layout into 128-token
     budget-aligned training packs (deterministic greedy-contiguous)."""
@@ -650,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "mix_sample": q_mix_sample,
         "pack_documents": q_pack_documents,
+        "c4_filters": q_c4_filters,
         "scrub_pii": q_scrub_pii,
         "decision_log_lex": q_decision_log_lex,
         "pagerank": q_pagerank,
@@ -1210,6 +1217,32 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE {mix_conds}
         GROUP BY source
+    """
+
+    from x5_ner_spark.operators.text_stats import C4_POLICY_PHRASES
+
+    phrase_sum = " + ".join(
+        f"CAST(contains(lower(text), '{p}') AS INT)" for p in C4_POLICY_PHRASES
+    )
+    sql["c4_filters"] = f"""
+        WITH s AS (
+          SELECT doc_id, text,
+                 list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                            x -> trim(x)), x -> x <> '') AS sents
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 contains(text, '{{') AS has_code_brace,
+                 ({phrase_sum}) > 0 AS has_policy_phrase,
+                 CAST(len(sents) AS INT) AS n_sentences,
+                 CAST(len(list_filter(sents, x ->
+                       len(list_filter(string_split(x, ' '), t -> t <> '')) >= 3))
+                      AS INT) AS n_good_sentences
+          FROM s)
+        SELECT *,
+               (NOT has_code_brace) AND (NOT has_policy_phrase)
+                 AND n_good_sentences >= 1 AS keep
+        FROM f
     """
 
     sql["pack_documents"] = """

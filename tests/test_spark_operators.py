@@ -355,3 +355,26 @@ def test_tfidf_top_terms_semantics(spark):
     top1 = {d: sorted(v)[0][1] for d, v in by_doc.items()}
     assert top1[1] == "редкое" and top1[2] == "обычное" and top1[3] == "тут"
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_c4_filters_rules(spark):
+    from x5_ner_spark.operators import text_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Это хорошее предложение о молоке. Вода тоже есть!"),
+            (2, "function() { return 1; }"),
+            (3, "This site uses cookies. Please accept."),
+            (4, "Коротко."),                       # no sentence with >=3 words
+            (5, "Lorem Ipsum dolor sit amet."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_stats.c4_filters(docs).collect()}
+    assert out[1]["keep"] is True and out[1]["n_sentences"] == 2
+    assert out[2]["keep"] is False and out[2]["has_code_brace"] is True
+    assert out[3]["keep"] is False and out[3]["has_policy_phrase"] is True
+    assert out[4]["keep"] is False and out[4]["n_good_sentences"] == 0
+    assert out[5]["keep"] is False  # lorem ipsum, case-insensitive
+    plan = text_stats.c4_filters(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -160,6 +160,51 @@ def gopher_filters(docs: DataFrame) -> DataFrame:
     return d.withColumn("keep", rules)
 
 
+# C4-style cleaning rules (Raffel et al. 2020 §2.2), adapted to single-line
+# documents (the corpus schema's text has no newlines, so line-based rules
+# become sentence-based); pinned phrase lists mirrored by the oracle.
+C4_POLICY_PHRASES = [
+    "lorem ipsum", "cookie policy", "privacy policy", "terms of use",
+    "uses cookies", "enable javascript",
+]
+C4_MIN_SENTENCE_WORDS = 3
+
+
+def c4_filters(docs: DataFrame) -> DataFrame:
+    """C4-style document filter flags: code brace, boilerplate/policy
+    phrases, sentence count, and the fraction of sentences with ≥3 words
+    (C4 keeps lines of ≥3 words ending in terminal punctuation — adapted:
+    sentences split on [.!?]). Map-only native expressions; composite
+    ``keep`` = no code brace, no policy phrase, ≥1 qualifying sentence."""
+    low = F.lower("text")
+    phrase_hits = sum(
+        (F.contains(low, F.lit(p)).cast("int") for p in C4_POLICY_PHRASES),
+        F.lit(0),
+    )
+    sents = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_sent = F.size(sents)
+    good_sents = F.size(
+        F.filter(sents, lambda s: F.size(F.filter(F.split(s, " "), lambda t: t != ""))
+                 >= C4_MIN_SENTENCE_WORDS)
+    )
+    d = docs.select(
+        "doc_id",
+        F.contains(F.col("text"), F.lit("{")).alias("has_code_brace"),
+        (phrase_hits > 0).alias("has_policy_phrase"),
+        n_sent.alias("n_sentences"),
+        good_sents.alias("n_good_sentences"),
+    )
+    return d.withColumn(
+        "keep",
+        (~F.col("has_code_brace"))
+        & (~F.col("has_policy_phrase"))
+        & (F.col("n_good_sentences") >= 1),
+    )
+
+
 def canonical_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Web-corpus URL canonicalization — the key under which crawl dedup and
     revisit-diffing happen: lowercase scheme+host, strip the default port,
