@@ -320,6 +320,23 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-group min/max/exact median/p90 (linear
+    interpolation — order statistics, drift-free across engines) over
+    lineitem prices. percentile() is Spark's exact variant (sort-based per
+    group); at scale the group key bounds the sort."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_price", F.col("l_extendedprice").cast("double")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.min("_price"), 4).alias("min_price"),
+        F.round(F.max("_price"), 4).alias("max_price"),
+        F.round(F.expr("percentile(_price, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(_price, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_error_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: entity-diff buckets over deterministic synthetic entity tables
     derived from lineitem (gold = even line numbers, pred = odd)."""
@@ -657,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "pack_documents": q_pack_documents,
         "c4_filters": q_c4_filters,
+        "numeric_profile": q_numeric_profile,
         "scrub_pii": q_scrub_pii,
         "decision_log_lex": q_decision_log_lex,
         "pagerank": q_pagerank,
@@ -1654,6 +1672,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, ROUND(AVG(n_chars), 4) AS avg_chars,
                ROUND(AVG(length(text)), 4) AS avg_len
         FROM documents GROUP BY lang
+    """
+
+    # percentile(): Spark exact percentile ≡ DuckDB quantile_cont (both
+    # linear interpolation over the sorted group); l_extendedprice may be
+    # DECIMAL in parquet — cast to DOUBLE on both sides so interpolation
+    # arithmetic matches
+    sql["numeric_profile"] = """
+        SELECT l_returnflag,
+               ROUND(MIN(CAST(l_extendedprice AS DOUBLE)), 4) AS min_price,
+               ROUND(MAX(CAST(l_extendedprice AS DOUBLE)), 4) AS max_price,
+               ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS median_price,
+               ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90_price,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
     """
 
     sql["error_buckets"] = """
