@@ -217,3 +217,35 @@ def test_write_decision_log_csv_roundtrip(spark, tmp_path):
                          (15, "p_type_sum"), (16, "p_o")):
             assert abs(float(row[col_i]) - rec[k]) < 5e-4, (i, k)
         assert row[17] == "0"  # error column default
+
+
+def test_decision_log_with_npz_matches_fused_log(spark, tmp_path):
+    """The standalone log operator under an npz checkpoint is row-identical
+    to the log half of the one-pass fused stage under the same checkpoint —
+    the S8 surface reflects the deployed model consistently."""
+    from x5_ner_spark.core.emission import write_npz_checkpoint
+    from x5_ner_spark.operators.decision_log import decision_log
+    from x5_ner_spark.pipeline.fused import fused_triples_and_log, split_triples_and_log
+
+    p = str(tmp_path / "log_em.npz")
+    write_npz_checkpoint(p, seed=7)
+    texts = ["молоко простоквашино 3.2%", "сок santa 1л", "хлеб барни"]
+    lex = frozenset(LEX)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    log_rows = sorted(tuple(r)[1:] for r in decision_log(docs, lex, emission_npz=p).collect())
+
+    pages = spark.createDataFrame(
+        [(f"u{i}", None, t) for i, t in enumerate(texts)],
+        "url string, html binary, text string",
+    )
+    _, fused_log = split_triples_and_log(
+        fused_triples_and_log(pages, lex, emission_npz=p)
+    )
+    fused_rows = sorted(tuple(r)[1:] for r in fused_log.collect())
+    assert log_rows == fused_rows and len(log_rows) > 5
+    # and it genuinely differs from the stub-model log (different emissions)
+    stub_rows = sorted(tuple(r)[1:] for r in decision_log(docs, lex).collect())
+    assert stub_rows != log_rows

@@ -41,19 +41,29 @@ def decision_log(
     brand_lexicon=frozenset(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    emission_npz: str | None = None,
 ) -> DataFrame:
     """(id, text) table → per-word decision-log rows. ``brand_lexicon`` may
-    be a frozenset or a ``sparkContext.broadcast`` handle."""
+    be a frozenset or a ``sparkContext.broadcast`` handle. ``emission_npz``
+    swaps the emission model for a weights-on-disk checkpoint
+    (core/emission.py) so the log reflects the DEPLOYED model's
+    probabilities, consistent with make_mentions_udf / fused_triples."""
     lex_handle = brand_lexicon
 
     def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lex = lex_handle.value if hasattr(lex_handle, "value") else lex_handle
         lex = frozenset(lex)
         lex_list = sorted(lex)
+        provider = None
+        if emission_npz is not None:
+            from ..core.emission import provider_for
+
+            provider = provider_for(emission_npz)
         for pdf in pdfs:
             texts = ["" if t is None else t for t in pdf["_log_text"]]
             logs: list[list[dict]] = []
-            final_mention_spans_batch(texts, lex, lex_list, logs=logs)
+            final_mention_spans_batch(texts, lex, lex_list, logs=logs,
+                                      provider=provider)
             rows = []
             for did, recs in zip(pdf["_log_id"], logs):
                 for r in recs:
