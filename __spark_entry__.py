@@ -1108,12 +1108,12 @@ def oracle_sql() -> dict[str, str]:
 
     sql["jaccard_pairs"] = f"""
         WITH {jacc_ctes}
-        SELECT id_a, id_b, ROUND(jacc, 4) AS jaccard FROM jp WHERE jacc >= 0.5
+        SELECT id_a, id_b, ROUND(jacc, 4) AS jaccard FROM jp WHERE ROUND(jacc, 4) >= 0.5
     """
 
     sql["near_dup_clusters"] = f"""
         WITH RECURSIVE {jacc_ctes},
-        pairs AS (SELECT id_a, id_b FROM jp WHERE jacc >= 0.5),
+        pairs AS (SELECT id_a, id_b FROM jp WHERE ROUND(jacc, 4) >= 0.5),
         und AS (SELECT id_a AS a, id_b AS b FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),
         nds AS (SELECT DISTINCT a AS node FROM und),
@@ -1212,9 +1212,13 @@ def oracle_sql() -> dict[str, str]:
               FROM u),
         c0 AS (SELECT url, lower(head) || substr(url, length(head) + 1) AS c FROM h),
         c1 AS (SELECT url, regexp_replace(c, '#.*$', '') AS c FROM c0),
-        c2 AS (SELECT url, regexp_replace(c, '(://[^/:?#]+):(80|443)($|[/?])', '\1\3') AS c FROM c1),
-        c3 AS (SELECT url, regexp_replace(c, '{track}', '\1') AS c FROM c2),
-        c4 AS (SELECT url, regexp_replace(c, '{track}', '\1') AS c FROM c3),
+        c2a AS (SELECT url, regexp_replace(c, '^(http://[^/:?#]+):80($|[/?])', '\1\2') AS c FROM c1),
+        c2 AS (SELECT url, regexp_replace(c, '^(https://[^/:?#]+):443($|[/?])', '\1\2') AS c FROM c2a),
+        -- 'g': Spark regexp_replace is replace-ALL per pass; DuckDB default
+        -- replaces only the first match, which would diverge on runs of 3+
+        -- adjacent tracking params
+        c3 AS (SELECT url, regexp_replace(c, '{track}', '\1', 'g') AS c FROM c2),
+        c4 AS (SELECT url, regexp_replace(c, '{track}', '\1', 'g') AS c FROM c3),
         c5 AS (SELECT url, regexp_replace(c, '[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', '') AS c FROM c4),
         c6 AS (SELECT url, regexp_replace(c, '\?$', '') AS c FROM c5),
         c7 AS (SELECT url, regexp_replace(c, '(.+?)/$', '\1') AS c FROM c6)
@@ -1329,7 +1333,7 @@ def oracle_sql() -> dict[str, str]:
           FROM inter
           JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b),
-        pairs AS (SELECT id_a, id_b FROM jp WHERE jacc >= 0.5),
+        pairs AS (SELECT id_a, id_b FROM jp WHERE ROUND(jacc, 4) >= 0.5),
         und AS (SELECT id_a AS a, id_b AS b FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),
         nds AS (SELECT DISTINCT a AS node FROM und),

@@ -110,3 +110,14 @@ def test_mention_pipeline_deterministic_and_stable():
 def test_empty_input_short_circuit():
     assert final_mention_spans("") == []
     assert final_mention_spans("   ") == []
+
+
+def test_decide_accepts_plain_set_lexicon():
+    """Pre-memoization the lexicon only needed membership — a mutable set
+    must keep working (review finding r3) and agree with the frozenset path."""
+    from x5_ner_spark.core.mention_pipeline import detect_mention_spans
+
+    text = "сок барни 3.2%"
+    a = detect_mention_spans(text, {"барни"}, ["барни"])
+    b = detect_mention_spans(text, frozenset({"барни"}), ["барни"])
+    assert a == b and a

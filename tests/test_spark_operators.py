@@ -330,6 +330,8 @@ def test_canonical_urls_pinned_vectors(spark):
         "https://h/x/": "https://h/x",
         "https://h/p?fbclid=z": "https://h/p",
         "https://h/p?utm_a=1&utm_b=2&q=3": "https://h/p?q=3",
+        "https://h/p?utm_a=1&utm_b=2&utm_c=3&q=4": "https://h/p?q=4",
+        "https://h:80/p": "https://h:80/p",  # non-default port on https kept
         "https://h/p?a=1&gclid=xyz": "https://h/p?a=1",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
@@ -378,3 +380,24 @@ def test_c4_filters_rules(spark):
     assert out[5]["keep"] is False  # lorem ipsum, case-insensitive
     plan = text_stats.c4_filters(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_asof_join_tie_with_nulls_picks_one_row(spark):
+    """Tied right rows where the winner holds a NULL: the output must be the
+    winning ROW verbatim (no per-column blending across tied rows)."""
+    from pyspark.sql import functions as F
+
+    from x5_ner_spark.operators import windows as W
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], "event_id long, user_id long, ts_s string"
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1.0, 7.0),
+         (1, "2024-01-01 09:00:00", 2.0, None)],
+        "user_id long, ts_s string, a double, b double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "a", "b")
+    out = W.asof_join(left, right, "user_id", "ts", ["a", "b"]).collect()
+    # tie rule: greatest (a, b) tuple -> the (2.0, NULL) row, atomically
+    assert len(out) == 1
+    assert out[0]["asof_a"] == 2.0 and out[0]["asof_b"] is None

@@ -168,6 +168,25 @@ def _decide_one_word(
     return (False, base, reason, log_fields)
 
 
+_LEX_INTERN: dict[frozenset, frozenset] = {}
+
+
+def _intern_fs(fs: frozenset) -> frozenset:
+    """Canonical object per lexicon VALUE: decide_word_labels rebuilds its
+    frozensets per document, and the per-word memo would otherwise pay a
+    full O(|lexicon|) frozenset equality on EVERY cache hit (tuple key
+    comparison only identity-shortcuts when the objects are the same).
+    Interning makes hit comparisons pointer checks; the one value-equality
+    runs once per document here."""
+    got = _LEX_INTERN.get(fs)
+    if got is None:
+        if len(_LEX_INTERN) > 64:
+            _LEX_INTERN.clear()
+        _LEX_INTERN[fs] = fs
+        got = fs
+    return got
+
+
 @lru_cache(maxsize=1 << 16)
 def _decide_one_word_cached(
     token_text: str, p: tuple, brand_lexicon: frozenset, lex_fs: frozenset,
@@ -204,8 +223,14 @@ def decide_word_labels(
     scripts/make_submission_from_val.py:85-107). The reference appends the
     row AFTER the BIO rewrite and never logs the short-word break token
     (the ``break`` fires before the append) — both reproduced."""
+    # plain set/list lexicons are valid API inputs (pre-memoization they only
+    # needed membership) — coerce to frozenset so the memo key hashes, and
+    # INTERN both sets so memo hits compare by identity (see _intern_fs)
+    if not isinstance(brand_lexicon, frozenset):
+        brand_lexicon = frozenset(brand_lexicon)
+    brand_lexicon = _intern_fs(brand_lexicon)
     lex_list = brand_lexicon_list if brand_lexicon_list is not None else sorted(brand_lexicon)
-    lex_fs = frozenset(lex_list)
+    lex_fs = _intern_fs(frozenset(lex_list))
     has_lex = bool(lex_list)
     labels: dict[int, str] = {}
     prev_lab = "O"

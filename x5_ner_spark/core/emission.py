@@ -195,7 +195,8 @@ def init_mlp_params(n_features: int = 256, hidden: int = 32, seed: int = 7) -> d
 
 
 def save_params_npz(params: dict, path: str) -> str:
-    """Persist trained params in the exact layout NpzMlpProvider loads."""
+    """Persist trained params in the exact layout NpzMlpProvider loads.
+    Returns the ACTUAL file path (np.savez appends '.npz' when missing)."""
     np.savez(
         path,
         w1=params["w1"].astype("float32"),
@@ -205,7 +206,7 @@ def save_params_npz(params: dict, path: str) -> str:
         n_features=np.array(params["n_features"], dtype="int64"),
         seed=np.array(-1, dtype="int64"),
     )
-    return path
+    return path if path.endswith(".npz") else path + ".npz"
 
 
 _PROVIDERS: dict[str, tuple[float, NpzMlpProvider]] = {}

@@ -213,7 +213,8 @@ def fit_crf_npz(
         seed=np.array(-1, dtype="int64"),
         crf_start=params["start"], crf_trans=params["trans"], crf_end=params["end"],
     )
-    return out_path
+    # np.savez appends '.npz' when missing - return the ACTUAL file path
+    return out_path if out_path.endswith(".npz") else out_path + ".npz"
 
 
 def load_crf_params_npz(path: str):

@@ -219,13 +219,16 @@ def canonical_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
     rest = F.substring(u, F.length(head) + F.lit(1), F.length(u))
     c = F.concat(F.lower(head), rest)
     c = F.regexp_replace(c, r"#.*$", "")                       # fragment
-    # no lookarounds (RE2): the char after the port (or end) is captured and
-    # re-emitted; an unmatched $-alternative group substitutes empty in both
-    # Java regex and RE2
-    c = F.regexp_replace(c, r"(://[^/:?#]+):(80|443)($|[/?])", "$1$3")
+    # default port is SCHEME-conditional (':80' on https is a real distinct
+    # resource); no lookarounds (RE2): the char after the port (or end) is
+    # captured and re-emitted; an unmatched $-alternative group substitutes
+    # empty in both Java regex and RE2
+    c = F.regexp_replace(c, r"^(http://[^/:?#]+):80($|[/?])", "$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:?#]+):443($|[/?])", "$1$2")
     # tracking params: (a) param followed by another param keeps its leading
-    # separator for the successor (applied twice: covers runs of ≤3 adjacent
-    # tracking params — documented bound); (b) param at end drops separator
+    # separator for the successor — replace-ALL per pass halves a run, so two
+    # passes cover runs of ≤4 adjacent tracking params (plus one trailing via
+    # rule b — documented bound); (b) param at end drops its separator
     track = r"([?&])(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&"
     c = F.regexp_replace(c, track, "$1")
     c = F.regexp_replace(c, track, "$1")

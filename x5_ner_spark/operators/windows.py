@@ -131,11 +131,22 @@ def asof_join(
         .orderBy(ts, "_side", tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # the match is picked ATOMICALLY as one struct — per-column
+    # last(ignorenulls) would blend columns across tied right rows when the
+    # winner holds NULLs, fabricating a row that exists in neither input
+    # (DuckDB/pandas ASOF pick a row, nulls and all)
+    right_row = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col(ts).alias("_ts"),
+            *[F.col(f"_asof_{c}").alias(c) for c in value_cols],
+        ),
+    )
+    u = u.withColumn("_asof_row", F.last(right_row, ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1)
     for c in value_cols:
-        u = u.withColumn(f"_asof_{c}", F.last(f"_asof_{c}", ignorenulls=True).over(w))
-    u = u.withColumn("_asof_ts", F.last(F.when(F.col("_side") == 0, F.col(ts)),
-                                        ignorenulls=True).over(w))
-    out = u.filter(F.col("_side") == 1).drop("_side")
+        out = out.withColumn(f"_asof_{c}", F.col("_asof_row")[c])
+    out = out.withColumn("_asof_ts", F.col("_asof_row._ts")).drop("_asof_row", "_side")
     if tolerance_s is not None:
         stale = (
             F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.col("_asof_ts"))

@@ -94,9 +94,16 @@ def connected_components(
     if checkpoint_dir is not None:
         from .graph import complete_stages, read_stage
 
-        done = complete_stages(spark, checkpoint_dir, "cc_round_", checkpoint_buckets)
+        done = [
+            int(s.rsplit("_", 1)[1])
+            for s in complete_stages(spark, checkpoint_dir, "cc_round_", checkpoint_buckets)
+        ]
+        # rounds beyond THIS call's max_iter must not leak in from a longer
+        # earlier run (same guard as pagerank): resuming at r > max_iter
+        # would return a deeper frontier than the uninterrupted call
+        done = [r for r in done if r <= max_iter]
         if done:
-            start_round = max(int(s.rsplit("_", 1)[1]) for s in done)
+            start_round = max(done)
             e = (
                 read_stage(spark, checkpoint_dir, f"cc_round_{start_round:04d}")
                 .select("src", "dst")

@@ -172,6 +172,17 @@ def write_stage(
         F.min(F.col(key).cast("string")).alias("min_key"),
         F.max(F.col(key).cast("string")).alias("max_key"),
     )
+    # EVERY todo bucket gets a manifest row, including legitimately EMPTY
+    # ones (n_rows=0): complete_stages requires all n_buckets rows, and a
+    # skewed/converged stage (e.g. a CC frontier hashing into few buckets)
+    # would otherwise never register as complete — silently disabling
+    # resume for exactly the runs that need it
+    todo_df = spark.createDataFrame([(int(p),) for p in todo], "part_id int")
+    stats = todo_df.join(stats, "part_id", "left").select(
+        "part_id",
+        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+        "min_key", "max_key",
+    )
     manifest = stats.select(
         F.lit(stage).alias("stage"), "part_id", "n_rows", "min_key", "max_key",
         F.lit(float(wall)).alias("wall_s"), F.lit(run_id).alias("run_id"),

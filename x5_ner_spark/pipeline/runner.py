@@ -170,19 +170,19 @@ def main() -> None:
         docs = extract.run(pages).select("text")
         hist: list = []
         if args.fit_emission:
-            ET.fit_npz_emission(
+            saved = ET.fit_npz_emission(
                 ET.teacher_labels(docs), args.fit_emission,
                 iters=args.train_iters, lr=args.train_lr, loss_history=hist,
             )
-            print({"mode": "fit_emission", "out": args.fit_emission,
+            print({"mode": "fit_emission", "out": saved,
                    "iters": len(hist), "loss_first": round(hist[0], 4),
                    "loss_last": round(hist[-1], 4)})
         else:
-            ET.fit_crf_npz(
+            saved = ET.fit_crf_npz(
                 ET.teacher_sequences(docs), args.fit_crf,
                 iters=args.train_iters, lr=args.train_lr, loss_history=hist,
             )
-            print({"mode": "fit_crf", "out": args.fit_crf,
+            print({"mode": "fit_crf", "out": saved,
                    "iters": len(hist), "loss_first": round(hist[0], 4),
                    "loss_last": round(hist[-1], 4)})
         return
