@@ -33,8 +33,9 @@ HEADLINE = [
     # round 2 additions (headline grew — totals are not comparable to
     # BENCH_r01 without subtracting these)
     "near_dup_clusters", "scrub_pii", "decision_log",
-    # round 3: the production (LSH-candidate) dedup path + corpus filter
-    "near_dup_clusters_lsh", "gopher_filters",
+    # round 3: the production (LSH-candidate) dedup path + corpus ops
+    "near_dup_clusters_lsh", "gopher_filters", "c4_filters", "mix_sample",
+    "pack_documents", "canonical_urls", "tfidf_top_terms", "numeric_profile",
 ]
 PIPELINE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 
