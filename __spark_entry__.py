@@ -498,6 +498,11 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats.c4_filters(_t(spark, sf_dir, "documents"))
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-bigram collocations by PMI (min pair count 5)."""
+    return text_stats.pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: per-source contiguous layout into 128-token
     budget-aligned training packs (deterministic greedy-contiguous)."""
@@ -675,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "c4_filters": q_c4_filters,
         "numeric_profile": q_numeric_profile,
+        "pmi_collocations": q_pmi_collocations,
         "scrub_pii": q_scrub_pii,
         "decision_log_lex": q_decision_log_lex,
         "pagerank": q_pagerank,
@@ -1246,6 +1252,32 @@ def oracle_sql() -> dict[str, str]:
     phrase_sum = " + ".join(
         f"CAST(contains(lower(text), '{p}') AS INT)" for p in C4_POLICY_PHRASES
     )
+    sql["pmi_collocations"] = """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+          FROM documents),
+        uni AS (
+          SELECT t.t, COUNT(*) AS c
+          FROM toks, LATERAL unnest(toks.toks) AS t(t) GROUP BY t.t),
+        n AS (SELECT SUM(c) AS n_tokens FROM uni),
+        bg AS (
+          SELECT toks.toks[i+1] AS a, toks.toks[i+2] AS b
+          FROM toks, LATERAL unnest(range(len(toks.toks) - 1)) AS r(i)
+          WHERE len(toks.toks) >= 2),
+        pairs AS (
+          SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b
+          HAVING COUNT(*) >= 5),
+        scored AS (
+          SELECT p.a, p.b, p.c_ab,
+                 ROUND(ln(CAST(n.n_tokens AS DOUBLE) * p.c_ab
+                          / (ua.c * ub.c)), 4) AS pmi
+          FROM pairs p
+          JOIN uni ua ON ua.t = p.a
+          JOIN uni ub ON ub.t = p.b
+          CROSS JOIN n)
+        SELECT * FROM scored ORDER BY pmi DESC, a ASC, b ASC LIMIT 20
+    """
+
     sql["c4_filters"] = f"""
         WITH s AS (
           SELECT doc_id, text,

@@ -401,3 +401,25 @@ def test_asof_join_tie_with_nulls_picks_one_row(spark):
     # tie rule: greatest (a, b) tuple -> the (2.0, NULL) row, atomically
     assert len(out) == 1
     assert out[0]["asof_a"] == 2.0 and out[0]["asof_b"] is None
+
+
+def test_pmi_collocations_semantics(spark):
+    """A pair that ALWAYS co-occurs outranks one whose parts also appear
+    apart; below-min-count pairs are excluded."""
+    from x5_ner_spark.operators import text_stats
+
+    rows = (
+        [(i, "красная икра") for i in range(6)]            # exclusive pair
+        + [(100 + i, "черная икра") for i in range(6)]     # икра shared
+        + [(200 + i, "черная смородина") for i in range(6)]
+        + [(300, "редкая пара")]                           # count 1 < min 5
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [(r["a"], r["b"], r["pmi"]) for r in
+           text_stats.pmi_collocations(docs, min_pair_count=5).collect()]
+    pairs = {(a, b): p for a, b, p in out}
+    assert ("редкая", "пара") not in pairs
+    # 'красная икра' is exclusive on 'красная' (c=6) and икра (c=12);
+    # 'черная' appears 12 times split over two pairs → lower PMI
+    assert pairs[("красная", "икра")] > pairs[("черная", "икра")]
+    assert out == sorted(out, key=lambda t: (-t[2], t[0], t[1]))

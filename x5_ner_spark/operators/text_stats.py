@@ -205,6 +205,51 @@ def c4_filters(docs: DataFrame) -> DataFrame:
     )
 
 
+def pmi_collocations(
+    docs: DataFrame, min_pair_count: int = 5, top_k: int = 20,
+) -> DataFrame:
+    """Collocation mining: adjacent-token bigrams scored by pointwise mutual
+    information, ln(N·c(a,b) / (c(a)·c(b))) over TOKEN POSITIONS — the
+    classic corpus-association measure (brand–product pairs surface at the
+    top). Two aggregations (bigram counts, unigram counts) + a broadcast of
+    the vocabulary-sized unigram table; deterministic top-k (pmi desc, pair
+    asc). min_pair_count guards the low-count PMI blowup."""
+    toks = docs.select(simple_tokens_col(F.lower("text")).alias("toks"))
+    idx = F.sequence(F.lit(0), F.size("toks") - 2)
+    bigrams = toks.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(idx, lambda i: F.struct(
+                F.element_at("toks", i + 1).alias("a"),
+                F.element_at("toks", i + 2).alias("b"),
+            ))
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    uni = (
+        docs.select(F.explode(simple_tokens_col(F.lower("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = uni.agg(F.sum("c")).first()[0]
+    pairs = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")).filter(
+        F.col("c_ab") >= min_pair_count
+    )
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .select(
+            "a", "b", "c_ab",
+            F.round(
+                F.log(F.lit(float(n_tokens)) * F.col("c_ab")
+                      / (F.col("c_a") * F.col("c_b"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(top_k)
+
+
 def canonical_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Web-corpus URL canonicalization — the key under which crawl dedup and
     revisit-diffing happen: lowercase scheme+host, strip the default port,
