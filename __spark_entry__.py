@@ -498,6 +498,11 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats.c4_filters(_t(spark, sf_dir, "documents"))
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists (term -> sorted doc ids + df), hapaxes dropped."""
+    return text_stats.inverted_index(_t(spark, sf_dir, "documents"), min_df=5)
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top adjacent-bigram collocations by PMI (min pair count 5)."""
     return text_stats.pmi_collocations(_t(spark, sf_dir, "documents"))
@@ -681,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "numeric_profile": q_numeric_profile,
         "pmi_collocations": q_pmi_collocations,
+        "inverted_index": q_inverted_index,
         "scrub_pii": q_scrub_pii,
         "decision_log_lex": q_decision_log_lex,
         "pagerank": q_pagerank,
@@ -1252,6 +1258,18 @@ def oracle_sql() -> dict[str, str]:
     phrase_sum = " + ".join(
         f"CAST(contains(lower(text), '{p}') AS INT)" for p in C4_POLICY_PHRASES
     )
+    sql["inverted_index"] = """
+        WITH t AS (
+          SELECT DISTINCT doc_id, tt.term
+          FROM documents, LATERAL unnest(
+            list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tt(term)),
+        agg AS (
+          SELECT term, list_sort(list(doc_id)) AS postings, COUNT(*) AS df
+          FROM t GROUP BY term)
+        SELECT term, CAST(df AS INT) AS df, postings
+        FROM agg WHERE df >= 5 AND df <= 10000
+    """
+
     sql["pmi_collocations"] = """
         WITH toks AS (
           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

@@ -205,6 +205,25 @@ def c4_filters(docs: DataFrame) -> DataFrame:
     )
 
 
+def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 10_000) -> DataFrame:
+    """Posting-list construction — term → sorted doc_id array + document
+    frequency, the search-index shape: one explode + one groupBy on term
+    (map-side combined), postings deduped and sorted for determinism.
+    ``min_df``/``max_df`` drop hapaxes and stopword-like terms whose posting
+    lists would be shuffle hogs; at 100 TB postings for hot terms are
+    chunked by (term, bucket) — here bounded by max_df instead."""
+    toks = docs.select(
+        "doc_id", F.explode(simple_tokens_col(F.lower("text"))).alias("term")
+    ).distinct()
+    return (
+        toks.groupBy("term")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+        .withColumn("df", F.size("postings"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("term", "df", "postings")
+    )
+
+
 def pmi_collocations(
     docs: DataFrame, min_pair_count: int = 5, top_k: int = 20,
 ) -> DataFrame:
