@@ -284,6 +284,69 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_counts + fingerprints in one map-only scan (one gate slot)."""
+    return text_stats.doc_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate query covering four reference behaviors in one registry
+    slot (the driver evaluates only the first 50 entries — VERDICT r3 #5):
+    O1/O3 global sort+limit (ref process_submission.py:66-77), A5
+    stratification sizes (ref split_train_val.py:62-66), A6 column means
+    (ref process_submission.py:78-82), E3 error buckets (ref
+    diff_analyser.py:30-91). Scalar-only surface (facet, key, sub, txt, num);
+    num is always double so the union column has one dtype on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    sort_limit = (
+        docs.orderBy(F.asc("text"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            F.lit("sort_limit").alias("facet"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.lit("head40").alias("sub"),
+            F.substring("text", 1, 40).alias("txt"),
+            F.col("doc_id").cast("double").alias("num"),
+        )
+    )
+    group_sizes = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("group_sizes").alias("facet"),
+            F.col("source").alias("key"),
+            F.col("lang").alias("sub"),
+            F.lit("").alias("txt"),
+            F.col("n").cast("double").alias("num"),
+        )
+    )
+    summary = (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        )
+        .select(
+            F.lit("summary_stats").alias("facet"),
+            F.col("lang").alias("key"),
+            F.expr(
+                "stack(2, 'avg_chars', avg_chars, 'avg_len', avg_len) AS (sub, num)"
+            ),
+        )
+        .select("facet", "key", "sub", F.lit("").alias("txt"), "num")
+    )
+    buckets = q_error_buckets(spark, sf_dir).select(
+        F.lit("error_buckets").alias("facet"),
+        F.col("bucket").alias("key"),
+        F.col("etype").alias("sub"),
+        F.lit("").alias("txt"),
+        F.col("n").cast("double").alias("num"),
+    )
+    return (
+        sort_limit.unionByName(group_sizes).unionByName(summary).unionByName(buckets)
+    )
+
+
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (large-star/small-star) over user adjacency."""
     return graph_ops.user_components(_t(spark, sf_dir, "events"))
@@ -499,8 +562,16 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Posting lists (term -> sorted doc ids + df), hapaxes dropped."""
-    return text_stats.inverted_index(_t(spark, sf_dir, "documents"), min_df=5)
+    """Posting lists (term -> sorted doc ids + df), hapaxes dropped.
+
+    Gate surface rule: no array/map columns in queries() output (the driver
+    canonicalizer sorts through pandas and dies on list cells) — the
+    array-typed operator stays for library callers; here the postings array
+    is flattened to a comma-joined string on BOTH engines."""
+    idx = text_stats.inverted_index(_t(spark, sf_dir, "documents"), min_df=5)
+    return idx.select(
+        "term", "df", F.concat_ws(",", F.col("postings")).alias("postings_csv")
+    )
 
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,7 +712,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    reg = {
         "kg_mentions_by_pred": q_kg_mentions_by_pred,
         "filter_project": q_filter_project,
         "join_agg": q_join_agg,
@@ -665,8 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "quality": q_quality,
-        "token_counts": q_token_counts,
-        "fingerprints": q_fingerprints,
+        "doc_stats": q_doc_stats,
         "components": q_components,
         "lsh_topk": q_lsh_topk,
         "term_contexts": q_term_contexts,
@@ -692,11 +762,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "decontaminate": q_decontaminate,
         "asof_join": q_asof_join,
-        "sort_limit": q_sort_limit,
-        "group_sizes": q_group_sizes,
-        "summary_stats": q_summary_stats,
-        "error_buckets": q_error_buckets,
+        "corpus_report": q_corpus_report,
     }
+    # Driver contract: only the FIRST 50 registry entries are evaluated
+    # (VERDICT r3 #5 — four green queries silently fell off at 54). Composite
+    # queries (doc_stats, corpus_report) keep every covered behavior inside
+    # the window; this assert keeps the invariant load-bearing.
+    assert len(reg) <= 50, f"driver evaluates only 50 queries, got {len(reg)}"
+    return reg
 
 
 # shared SQL fragments
@@ -1266,7 +1339,8 @@ def oracle_sql() -> dict[str, str]:
         agg AS (
           SELECT term, list_sort(list(doc_id)) AS postings, COUNT(*) AS df
           FROM t GROUP BY term)
-        SELECT term, CAST(df AS INT) AS df, postings
+        SELECT term, CAST(df AS INT) AS df,
+               array_to_string(postings, ',') AS postings_csv
         FROM agg WHERE df >= 5 AND df <= 10000
     """
 
@@ -1329,7 +1403,10 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - n_tokens AS "offset"
           FROM t)
-        SELECT doc_id, source AS "group", n_tokens, "offset",
+        SELECT doc_id, source AS "group", n_tokens,
+               -- window SUM is HUGEINT in DuckDB; the driver's pandas canon
+               -- coerces un-cast HUGEINT to float64 ('0.0' vs Spark's '0')
+               CAST("offset" AS BIGINT) AS "offset",
                CAST(FLOOR("offset" / 128.0) AS BIGINT) AS pack_id,
                FLOOR(("offset" + n_tokens - 1) / 128.0)
                  > FLOOR("offset" / 128.0) AS spans_packs
@@ -1421,11 +1498,14 @@ def oracle_sql() -> dict[str, str]:
         FROM contrib GROUP BY doc_id
     """
 
-    sql["cosine_topk"] = """
+    # explicit double cosine (_cos_sql), not list_cosine_similarity: the
+    # builtin returns FLOAT on FLOAT[] inputs and the driver's pandas canon
+    # then carries float32 artifacts (0.263500005 for 0.2635)
+    sql["cosine_topk"] = f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         scored AS (
           SELECT q.query_id, e.vec_id AS neighbor_id,
-                 ROUND(list_cosine_similarity(q.qv, e.embedding), 4) AS cos
+                 {_cos_sql("q.qv", "e.embedding", 4)} AS cos
           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                                 ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -1619,18 +1699,15 @@ def oracle_sql() -> dict[str, str]:
         FROM d
     """
 
-    sql["token_counts"] = """
+    sql["doc_stats"] = f"""
+        WITH n AS (SELECT doc_id, text,
+                          regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
+                   FROM documents)
         SELECT doc_id,
                len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
                len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens,
-               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_est
-        FROM documents
-    """
-
-    sql["fingerprints"] = f"""
-        WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
-                   FROM documents)
-        SELECT doc_id, md5(nt) AS fingerprint,
+               CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_est,
+               md5(nt) AS fingerprint,
                {_H32.format(x="nt")} % 1024 AS fp_bucket
         FROM n
     """
@@ -1713,20 +1790,6 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY event_type
     """
 
-    sql["sort_limit"] = """
-        SELECT doc_id, substr(text, 1, 40) AS head40
-        FROM documents ORDER BY text ASC, doc_id ASC LIMIT 20
-    """
-
-    sql["group_sizes"] = """
-        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
-    """
-
-    sql["summary_stats"] = """
-        SELECT lang, ROUND(AVG(n_chars), 4) AS avg_chars,
-               ROUND(AVG(length(text)), 4) AS avg_len
-        FROM documents GROUP BY lang
-    """
 
     # percentile(): Spark exact percentile ≡ DuckDB quantile_cont (both
     # linear interpolation over the sorted group); l_extendedprice may be
@@ -1742,7 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem GROUP BY l_returnflag
     """
 
-    sql["error_buckets"] = """
+    error_buckets_sql = """
         WITH ents AS (
           SELECT l_orderkey AS doc_id,
                  CAST(l_partkey % 100 AS INT) AS s,
@@ -1769,6 +1832,28 @@ def oracle_sql() -> dict[str, str]:
                  UNION ALL SELECT * FROM shift UNION ALL SELECT * FROM fn
                  UNION ALL SELECT * FROM fp)
         SELECT bucket, etype, COUNT(*) AS n FROM allb GROUP BY bucket, etype
+    """
+
+    sql["corpus_report"] = f"""
+        WITH s AS (
+          SELECT lang, ROUND(AVG(n_chars), 4) AS avg_chars,
+                 ROUND(AVG(length(text)), 4) AS avg_len
+          FROM documents GROUP BY lang),
+        eb AS ({error_buckets_sql})
+        SELECT 'sort_limit' AS facet, CAST(doc_id AS VARCHAR) AS key,
+               'head40' AS sub, substr(text, 1, 40) AS txt,
+               CAST(doc_id AS DOUBLE) AS num
+        FROM (SELECT doc_id, text FROM documents
+              ORDER BY text ASC, doc_id ASC LIMIT 20)
+        UNION ALL
+        SELECT 'group_sizes', source, lang, '', CAST(COUNT(*) AS DOUBLE)
+        FROM documents GROUP BY source, lang
+        UNION ALL
+        SELECT 'summary_stats', lang, 'avg_chars', '', avg_chars FROM s
+        UNION ALL
+        SELECT 'summary_stats', lang, 'avg_len', '', avg_len FROM s
+        UNION ALL
+        SELECT 'error_buckets', bucket, etype, '', CAST(n AS DOUBLE) FROM eb
     """
 
     return sql

@@ -29,7 +29,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "kg_mentions_by_pred", "tpch_q1", "join_agg", "token_topk", "fuzzy_join",
     "sessionize", "prf_eval", "jaccard_pairs", "minhash_buckets", "simhash",
-    "cosine_topk", "components", "lang_id", "quality", "fingerprints",
+    "cosine_topk", "components", "lang_id", "quality", "doc_stats",
     # round 2 additions (headline grew — totals are not comparable to
     # BENCH_r01 without subtracting these)
     "near_dup_clusters", "scrub_pii", "decision_log",

@@ -98,6 +98,23 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """token_counts + fingerprints fused into ONE map-only scan — the gate
+    surface for both (one registry slot; the driver evaluates only the first
+    50 queries). Same column definitions as the two standalone operators."""
+    ws = F.size(simple_tokens_col("text"))
+    words = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+"), 0))
+    normed = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        words.alias("word_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("bpe_est"),
+        F.md5(normed).alias("fingerprint"),
+        (portable_hash32(normed) % 1024).alias("fp_bucket"),
+    )
+
+
 # Gopher-style corpus filter thresholds (Rae et al. 2021, table A1),
 # adapted to short product/web texts where noted; pinned spec, mirrored by
 # the DuckDB oracle.
