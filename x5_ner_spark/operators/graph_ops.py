@@ -84,6 +84,9 @@ def pagerank(
             )
             if resume_info is not None:
                 resume_info["resumed_from_round"] = start_round
+    from ..pipeline.canonicalize import _ckpt_rdd
+
+    prev_handle = _ckpt_rdd(ranks) if start_round > 0 else None
     for i in range(start_round, iters):
         contrib = (
             und.join(ranks, und.a == ranks.node)
@@ -99,6 +102,11 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        # the new rank state is materialized (eager) — release the
+        # superseded round's blocks so storage stays flat across rounds
+        if prev_handle is not None:
+            prev_handle.unpersist(False)
+        prev_handle = _ckpt_rdd(ranks)
         if (
             checkpoint_dir is not None
             and (i + 1) % checkpoint_every == 0
@@ -110,4 +118,11 @@ def pagerank(
                 ranks, checkpoint_dir, f"pr_round_{i + 1:04d}", key="node",
                 n_buckets=checkpoint_buckets,
             )
-    return ranks.select("node", F.round("pr", 6).alias("pagerank"))
+    out = ranks.select("node", F.round("pr", 6).alias("pagerank"))
+    if start_round < iters or start_round > 0:
+        # final ranks is checkpointed (lineage truncated) — the structural
+        # tables' blocks are no longer reachable from the returned plan
+        for h in (_ckpt_rdd(und), _ckpt_rdd(nodes)):
+            if h is not None:
+                h.unpersist(False)
+    return out

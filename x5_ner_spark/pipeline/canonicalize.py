@@ -22,6 +22,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ckpt_rdd(df: DataFrame):
+    """JVM handle of a localCheckpoint-ed DataFrame's block-backed RDD
+    (the analyzed plan is LogicalRDD; its .rdd is the exact RDD holding the
+    checkpoint blocks). Lets iterative loops release superseded frontiers —
+    without this every round's blocks stay pinned in the block manager for
+    the app's lifetime (VERDICT r3 #4)."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        return None
+
+
 def _canon_undirected(edges: DataFrame) -> DataFrame:
     """Normalize to src < dst, drop self-loops and duplicates."""
     e = edges.select(
@@ -107,14 +119,18 @@ def connected_components(
             e = (
                 read_stage(spark, checkpoint_dir, f"cc_round_{start_round:04d}")
                 .select("src", "dst")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             if resume_info is not None:
                 resume_info["resumed_from_round"] = start_round
     if e is None:
+        # eager=False: the _sig action below computes the frontier AND its
+        # convergence signature in ONE job (an eager checkpoint + separate
+        # signature action would be two full passes per round — at 10^12
+        # docs each pass is a full frontier scan)
         e = _canon_undirected(
             edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
     def _sig(df: DataFrame) -> tuple:
         # one-job convergence signature: (row count, order-insensitive hash
@@ -126,13 +142,19 @@ def connected_components(
         ).first()
         return (r["n"], r["h"])
 
-    sig = _sig(e)
+    sig = _sig(e)  # materializes the lazy checkpoint
     rounds = 0
     for i in range(start_round, max_iter):
-        e2 = _small_star(_large_star(e)).distinct().localCheckpoint()
-        sig2 = _sig(e2)
+        e2 = _small_star(_large_star(e)).distinct().localCheckpoint(eager=False)
+        sig2 = _sig(e2)  # one job: computes the round, stores its blocks,
+        #                  and returns the convergence signature
+        prev = _ckpt_rdd(e)
         e = e2
         rounds += 1
+        if prev is not None:
+            # release the superseded frontier's blocks — storage stays
+            # bounded by two frontiers regardless of round count
+            prev.unpersist(False)
         if sig2 == sig:
             break
         sig = sig2
