@@ -51,6 +51,7 @@ def _fuzzy_hit_cached(term: str, lex_fs: frozenset[str], max_d: int) -> bool:
 
 
 _CONF_LADDER = (0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6, 0.55)
+_LAB_BY_BASE = {"BRAND": ("B-BRAND", "I-BRAND"), "TYPE": ("B-TYPE", "I-TYPE")}
 
 
 def _looks_like_type_word(word: str) -> bool:
@@ -232,30 +233,24 @@ def decide_word_labels(
     lex_list = brand_lexicon_list if brand_lexicon_list is not None else sorted(brand_lexicon)
     lex_fs = _intern_fs(frozenset(lex_list))
     has_lex = bool(lex_list)
-    labels: dict[int, str] = {}
-    prev_lab = "O"
+    labels = ["O"] * len(word_spans)
+    prev_base = "O"
 
     for wid, (s, e) in enumerate(word_spans):
         if s >= e:
-            labels[wid] = "O"
-            continue
+            continue  # pre-filled "O"
         token_text = text[s:e]
         p = word_probs[wid]
 
         # per-(token, probs) memo: in the batch kernel probs is the per-key
         # cached tuple, so a Zipf-repeated token skips the whole cascade
-        # body; non-tuple probs (library callers passing lists) take the
-        # direct path — identical logic, no conversion cost
-        if type(p) is tuple:
-            brk, base, reason, log_fields = _decide_one_word_cached(
-                token_text, p, brand_lexicon, lex_fs, has_lex,
-                brand_thresh, entity_thresh, use_wratio,
-            )
-        else:
-            brk, base, reason, log_fields = _decide_one_word(
-                token_text, tuple(p), brand_lexicon, lex_fs, has_lex,
-                brand_thresh, entity_thresh, use_wratio,
-            )
+        # body; non-tuple probs (library callers passing lists) are keyed by
+        # their converted tuple — identical logic either way
+        brk, base, reason, log_fields = _decide_one_word_cached(
+            token_text, p if type(p) is tuple else tuple(p),
+            brand_lexicon, lex_fs, has_lex,
+            brand_thresh, entity_thresh, use_wratio,
+        )
 
         # rule 0a: tiny low-confidence token aborts the loop (reference bug,
         # reproduced intentionally — see module docstring); the reference
@@ -263,20 +258,24 @@ def decide_word_labels(
         if brk:
             if short_word_break:
                 break
-            labels[wid] = "O"
-            prev_lab = "O"
+            prev_base = "O"
             continue
 
         # BIO continuity rewrite vs previous word (infer.py:399-405): the
         # branch-local B-/I- choice of the pre-factoring code was always
-        # overwritten by this rewrite, so only the base survives
+        # overwritten by this rewrite, so only the base survives. Tracking
+        # the previous BASE makes the I-/B- choice a pointer compare
+        # (prev_lab.endswith(base) ⟺ prev_base == base over the 5-label
+        # vocabulary); label strings come from a fixed table, no f-string
+        # per word
         if base == "O":
             lab = "O"
+            prev_base = "O"
         else:
-            lab = f"I-{base}" if prev_lab.endswith(base) else f"B-{base}"
-
-        labels[wid] = lab
-        prev_lab = lab
+            bb, ib = _LAB_BY_BASE[base]
+            lab = ib if prev_base == base else bb
+            labels[wid] = lab
+            prev_base = base
 
         if log is not None:
             (p_brand, p_type, in_lex, fuzzy_hit, pure_lat, short_lat,
@@ -300,5 +299,5 @@ def decide_word_labels(
         while s < e and text[e - 1].isspace():
             e -= 1
         if s < e:
-            out.append((s, e, labels.get(wid, "O")))
+            out.append((s, e, labels[wid]))
     return out

@@ -92,7 +92,7 @@ def stitch_consecutive_b_to_i(text: str, spans: list[Span]) -> list[Span]:
     out: list[Span] = []
     prev_end: int | None = None
     prev_core: str | None = None
-    for s, e, tag in sorted(spans, key=lambda x: (x[0], x[1], x[2])):
+    for s, e, tag in sorted(spans):
         if prev_core is not None and tag.startswith("B-"):
             core = _tag_core(tag)
             if core == prev_core and only_separators(text, prev_end, s):
@@ -128,7 +128,7 @@ def merge_model_and_numeric(text: str, base: list[Span], add: list[Span]) -> lis
     - other overlaps                     → keep base, drop add
     Order-dependent sequential fold; do not parallelize within a row."""
     if not add:
-        return sorted(set(base), key=lambda x: (x[0], x[1], x[2]))
+        return sorted(set(base))
     # Single in-place pass per add span (hottest loop of the postprocess,
     # profiled): the only mutations the policy ever makes are (a) DELETE a
     # base row the numeric span replaces — rare — and (b) decide whether the
@@ -187,10 +187,7 @@ def merge_model_and_numeric(text: str, base: list[Span], add: list[Span]) -> lis
                     del out[idx]
         if keep_add:
             out.append((s, e, t))
-    return sorted(
-        {row for row in out if row[0] is not None},
-        key=lambda x: (x[0], x[1], x[2]),
-    )
+    return sorted({row for row in out if row[0] is not None})
 
 
 _RE_WORD = _rx.compile(r"\p{L}[\p{L}\p{N}-]*", _rx.UNICODE)
@@ -229,7 +226,7 @@ def expand_phrases_right(
             out.append((s, e, tag))
         else:
             out.append((s, cur_e, tag))
-    return sorted(set(out), key=lambda x: (x[0], x[1], x[2]))
+    return sorted(set(out))
 
 
 def merge_across_joiners(
@@ -324,4 +321,4 @@ def postprocess(
     out = zeroize_percent_after_size(text, out)
     if do_replace_after_prepositions:
         out = zero_after_prepositions(text, out)
-    return sorted(set(out), key=lambda x: (x[0], x[1], x[2]))
+    return sorted(set(out))

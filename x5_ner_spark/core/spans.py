@@ -26,10 +26,19 @@ ENTITY_TYPES = ("TYPE", "BRAND", "VOLUME", "PERCENT")
 _TUPLE_RE = re.compile(r"\(\s*(\d+)\s*,\s*(\d+)\s*,\s*'([^']+)'\s*\)")
 
 
+_SPLIT_TAG_MEMO: dict[str, tuple[str, str]] = {}
+
+
 def _split_tag(tag: str) -> tuple[str, str]:
+    # memoized below (tiny tag vocabulary, one call per non-O span)
+    got = _SPLIT_TAG_MEMO.get(tag)
+    if got is not None:
+        return got
     if "-" in tag:
         bi, etype = tag.split("-", 1)
+        _SPLIT_TAG_MEMO[tag] = (bi, etype)
         return bi, etype
+    _SPLIT_TAG_MEMO[tag] = ("B", tag)
     return "B", tag
 
 
@@ -96,7 +105,7 @@ def merge_bio_typed(spans: list[Span]) -> set[tuple[str, int, int]]:
 def serialize_spans(spans: list[Span]) -> str:
     """Stable Python-repr serialization, sorted by (s, e, tag)
     (ref: ner/utils.py:83-89). Byte-exact golden-test target."""
-    ordered = sorted(spans, key=lambda x: (x[0], x[1], x[2]))
+    ordered = sorted(spans)
     return str([(int(s), int(e), str(t)) for s, e, t in ordered])
 
 

@@ -24,8 +24,10 @@ _PURE_LATIN = re.compile(r"[A-Za-z]+")
 _LATIN_VOWEL = re.compile(r"[AEIOUYaeiouy]")
 
 
+@lru_cache(maxsize=1 << 16)
 def norm_basic(s: str) -> str:
-    """lower + strip + ё→е  (ref: ner/infer.py:40-43)."""
+    """lower + strip + ё→е  (ref: ner/infer.py:40-43). Cached — runs once
+    per emitted entity surface (triple objects), Zipf-distributed."""
     return _YO_RE.sub("е", s.lower().strip())
 
 
