@@ -209,20 +209,33 @@ def save_params_npz(params: dict, path: str) -> str:
     return path if path.endswith(".npz") else path + ".npz"
 
 
-_PROVIDERS: dict[str, tuple[float, NpzMlpProvider]] = {}
+_PROVIDERS: dict[str, tuple[float, object]] = {}
 
 
-def provider_for(path: str) -> NpzMlpProvider:
+def provider_for(path: str):
     """Per-process provider singleton: the .npz is read from disk at most
     once per (path, mtime) per Python worker — every partition and Arrow
     batch that worker processes reuses the loaded weights (the reference's
     lazy model singleton, service/app.py:20-34). An updated file (new mtime)
-    triggers exactly one reload."""
+    triggers exactly one reload.
+
+    Dispatch by checkpoint contents: an npz carrying a ``vocab`` array is a
+    sequence-level subword checkpoint (core/subword.py — real tokenizer
+    offsets + max_len truncation, ref infer.py:141-189); otherwise the
+    word-level MLP checkpoint."""
     key = os.path.abspath(path)
     mtime = os.path.getmtime(key)
     hit = _PROVIDERS.get(key)
     if hit is None or hit[0] != mtime:
-        _PROVIDERS[key] = (mtime, NpzMlpProvider(key))
+        with np.load(key, allow_pickle=True) as z:
+            is_subword = "vocab" in z.files
+        if is_subword:
+            from .subword import SubwordEmissionProvider
+
+            prov = SubwordEmissionProvider(key)
+        else:
+            prov = NpzMlpProvider(key)
+        _PROVIDERS[key] = (mtime, prov)
     return _PROVIDERS[key][1]
 
 

@@ -76,7 +76,34 @@ def final_mention_spans_batch(
     ``batch_probabilities([(norm_token, cont)]) -> [n, 9]`` and a
     ``prob_cache`` dict / ``prob_cache_max`` int. None = the pinned stub
     (module-global cache). This is the reference's checkpoint swap point
-    (infer.py:141-147): cascade/postprocess/triples above are untouched."""
+    (infer.py:141-147): cascade/postprocess/triples above are untouched.
+
+    A provider with ``seq_level = True`` (core/subword.py) owns word
+    segmentation itself — real subword-tokenizer offsets + max_len
+    truncation (ref infer.py:165-171): only words still covered after
+    truncation are decided, a straddling word's span ends at its last
+    covered piece, and per-word probs are the mean of covered-piece softmax
+    rows (infer.py:199-221)."""
+    if provider is not None and getattr(provider, "seq_level", False):
+        lex_list = (
+            brand_lexicon_list if brand_lexicon_list is not None else sorted(brand_lexicon)
+        )
+        out_seq: list[list[Span]] = []
+        per_doc = provider.word_probs_for_texts(
+            ["" if not t else t for t in texts]
+        )
+        for t, (wspans, probs) in zip(texts, per_doc):
+            if not t or not t.strip() or not wspans:
+                out_seq.append([])
+                if logs is not None:
+                    logs.append([])
+                continue
+            log: list[dict] | None = [] if logs is not None else None
+            raw = decide_word_labels(t, wspans, probs, brand_lexicon, lex_list, log=log)
+            if logs is not None:
+                logs.append(log)
+            out_seq.append(postprocess(t, raw) if raw else [])
+        return out_seq
     words_per_text: list[list[tuple[int, int]] | None] = []
     toks_per_text: list[list[tuple[str, int, int]] | None] = []
     keys_per_text: list[list[tuple[str, bool]] | None] = []
