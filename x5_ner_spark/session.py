@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Python-worker transport over unix domain sockets (Spark 4.1):
+        # worker sockets are always node-local, so UDS is the right
+        # transport on any cluster — fewer syscalls per Arrow batch, and it
+        # avoids loopback-TCP stalls (observed on this sandbox kernel: a
+        # worker wedged in tcp_recvmsg/sk_wait_data with 3.8 MB queued on
+        # the JVM side during a 960k-page run; jstack + /proc/.../stack in
+        # BENCH/BASELINE.md round-4 notes)
+        .config("spark.python.unix.domain.socket.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
