@@ -312,3 +312,100 @@ def test_real_decode_spark_path(spark):
     assert [round(v, 6) for v in out[1]] == [round(v, 6) for v in want_img]
     assert [round(v, 6) for v in out[2]] == [round(v, 6) for v in want_img]
     assert len(out[3]) == 11 and abs(out[3][0] - 0.5) < 1e-3
+
+
+def test_png_roundtrip_every_filter_type():
+    """decode_png reconstructs exactly under each spec filter (0-4); all
+    five filtered encodings of the same image decode identically."""
+    import numpy as np
+
+    from x5_ner_spark.core import media as M
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    decoded = [M.decode_png(M.encode_png(img, filter_type=f)) for f in range(5)]
+    for d in decoded:
+        assert d.shape == img.shape
+        assert (d == img).all()
+
+
+def test_png_filter_math_hand_vectors():
+    """Independent hand-worked reconstructions (spec §9 equations), so a
+    shared encoder/decoder misreading cannot cancel out."""
+    import numpy as np
+
+    from x5_ner_spark.core.media import _png_unfilter
+
+    prev = np.array([10, 20, 30, 40, 50, 60], dtype=np.int32)  # 2 px RGB
+    cur = np.array([5, 6, 7, 8, 9, 10], dtype=np.uint8)
+    # Sub (bpp=3): out[i] = cur[i] + out[i-3]
+    assert _png_unfilter(1, cur, prev, 3).tolist() == [5, 6, 7, 13, 15, 17]
+    # Up: out[i] = cur[i] + prev[i]
+    assert _png_unfilter(2, cur, prev, 3).tolist() == [15, 26, 37, 48, 59, 70]
+    # Average: out[i] = cur[i] + floor((a + prev[i]) / 2); a=0 for i<3
+    #   i0: 5+10//2=10 -> 5+5=10; i1: 6+20//2=16; i2: 7+15=22
+    #   i3: 8+(10+40)//2=33; i4: 9+(16+50)//2=42; i5: 10+(22+60)//2=51
+    assert _png_unfilter(3, cur, prev, 3).tolist() == [10, 16, 22, 33, 42, 51]
+    # Paeth: i<3 -> a=c=0, p=b -> predictor=b
+    #   i0: 5+10=15; i1: 6+20=26; i2: 7+30=37
+    #   i3: a=15,b=40,c=10 -> p=45; pa=30,pb=5,pc=35 -> b -> 8+40=48
+    #   i4: a=26,b=50,c=20 -> p=56; pa=30,pb=6,pc=36 -> b -> 9+50=59
+    #   i5: a=37,b=60,c=30 -> p=67; pa=30,pb=7,pc=37 -> b -> 10+60=70
+    assert _png_unfilter(4, cur, prev, 3).tolist() == [15, 26, 37, 48, 59, 70]
+
+
+def test_png_gray_palette_alpha_paths():
+    """Raw chunk construction for color types 0/3/6 (filter 0 rows)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from x5_ner_spark.core.media import _PNG_SIG, decode_png
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    def png(ctype, w, h, raw_rows, plte=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        body = b"".join(b"\x00" + r for r in raw_rows)
+        out = _PNG_SIG + chunk(b"IHDR", ihdr)
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+    # grayscale 2x2 -> replicated channels
+    g = decode_png(png(0, 2, 2, [bytes([0, 255]), bytes([17, 34])]))
+    assert g[0, 1].tolist() == [255, 255, 255] and g[1, 0].tolist() == [17, 17, 17]
+
+    # palette: index 1 -> (9, 8, 7)
+    p = decode_png(png(3, 2, 1, [bytes([1, 0])], plte=bytes([1, 2, 3, 9, 8, 7])))
+    assert p[0, 0].tolist() == [9, 8, 7] and p[0, 1].tolist() == [1, 2, 3]
+
+    # RGBA composited over white: half-transparent black -> 128ish
+    row = bytes([0, 0, 0, 128, 10, 20, 30, 255])
+    a = decode_png(png(6, 2, 1, [row]))
+    assert a[0, 1].tolist() == [10, 20, 30]
+    assert all(126 <= v <= 129 for v in a[0, 0].tolist())
+
+
+def test_png_through_extract_features(spark):
+    """PNG payload flows through the real-decode mapInPandas path and its
+    feature equals the decoded-pixel feature computed locally."""
+    import numpy as np
+
+    from x5_ner_spark.core import media as M
+    from x5_ner_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    payload = M.encode_png(img, filter_type=4)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "image/png", 16, 16, None)],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(df, decode="real").collect()[0]
+    assert row["n_bytes"] == len(payload)
+    want = M.image_feature(img)
+    assert np.allclose(np.array(row["feature"]), np.array(want), atol=1e-6)

@@ -6,11 +6,14 @@ COMPRESSED formats — uncompressed containers need no codec:
 
 - PPM (P6): header + raw RGB bytes;
 - BMP (24/32-bit uncompressed BITMAPINFOHEADER): bottom-up padded rows;
+- PNG (8-bit gray/RGB/palette/alpha, non-interlaced): REAL compressed
+  decode — stdlib ``zlib`` inflate + spec §9 scanline unfiltering
+  (round 4; alpha composited over white, palette via PLTE);
 - WAV (PCM 8/16-bit): stdlib ``wave``.
 
 These decoders make the engine's multimodal path genuinely functional end
 to end for those formats (decode → feature extraction → Spark plumbing),
-while JPEG/PNG/MP4 keep the explicit plug-a-codec NotImplementedError.
+while JPEG/MP4 keep the explicit plug-a-codec NotImplementedError.
 Features are real content statistics: images → 8×8 block-mean grayscale
 thumbnail (the classic perceptual-hash precursor); audio → RMS,
 zero-crossing rate, and log-energy in 8 FFT bands.
@@ -85,6 +88,158 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         dest = (h - 1 - r) if flip else r
         out[dest] = row[:, 2::-1][:, :3]  # BGR(A) → RGB
     return out
+
+
+def _png_unfilter(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """One PNG scanline reconstruction (spec §9 'Filtering'): cur is the
+    filtered byte row, prev the RECONSTRUCTED prior row, bpp the bytes per
+    complete pixel. int16/int32 intermediates, mod-256 writebacks."""
+    n = len(cur)
+    out = cur.astype(np.int32)
+    if ftype == 0:  # None
+        pass
+    elif ftype == 1:  # Sub: Recon(x) = Filt(x) + Recon(a)
+        for i in range(bpp, n):
+            out[i] = (out[i] + out[i - bpp]) & 0xFF
+    elif ftype == 2:  # Up
+        out = (out + prev) & 0xFF
+    elif ftype == 3:  # Average: + floor((a + b) / 2)
+        for i in range(n):
+            a = out[i - bpp] if i >= bpp else 0
+            out[i] = (out[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth predictor
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                pr = a
+            elif pb <= pc:
+                pr = b
+            else:
+                pr = c
+            out[i] = (out[i] + pr) & 0xFF
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return out.astype(np.uint8)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (8-bit, non-interlaced; color types 0/2/3/4/6) → uint8 (h, w, 3)
+    RGB. REAL decode — stdlib zlib inflate + spec §9 unfiltering; alpha is
+    composited over white, palette images resolved via PLTE. Pure
+    stdlib+numpy (the container has no Pillow), so 'compressed formats need
+    a codec plug' no longer applies to PNG."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    idat: list[bytes] = []
+    plte = b""
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif ctag == b"PLTE":
+            plte = data
+        elif ctag == b"IDAT":
+            idat.append(data)
+        elif ctag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    rows = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        rows[r] = _png_unfilter(ftype, cur, prev, ch)
+        prev = rows[r].astype(np.int32)
+    px = rows.reshape(h, w, ch)
+    if ctype == 3:  # palette
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[px[:, :, 0]].copy()
+    if ctype == 0:  # grayscale
+        return np.repeat(px, 3, axis=2).copy()
+    if ctype == 2:  # RGB
+        return px.copy()
+    # alpha variants: composite over white (feature extraction wants RGB)
+    if ctype == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2).astype(np.float64)
+        a = px[:, :, 1:2].astype(np.float64) / 255.0
+    else:  # 6
+        rgb = px[:, :, :3].astype(np.float64)
+        a = px[:, :, 3:4].astype(np.float64) / 255.0
+    return np.clip(rgb * a + 255.0 * (1.0 - a), 0, 255).astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w, 3) → spec-conformant RGB PNG (fixture/round-trip helper;
+    ``filter_type`` applies one spec filter to every row so tests exercise
+    each reconstruction path)."""
+    import zlib
+
+    h, w, _ = arr.shape
+    arr = arr.astype(np.uint8)
+    bpp = 3
+    lines = []
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for r in range(h):
+        cur = arr[r].reshape(-1).astype(np.int32)
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            a = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = (cur - a) & 0xFF
+        elif filter_type == 2:
+            filt = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            a = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = (cur - ((a + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            filt = np.empty_like(cur)
+            for i in range(len(cur)):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (cur[i] - pr) & 0xFF
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        lines.append(bytes([filter_type]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:

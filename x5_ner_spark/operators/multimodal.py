@@ -1,12 +1,14 @@
 """Multimodal columns: opaque binary payloads + typed metadata, processed
 with Arrow-batched mapInPandas.
 
-DECODE (round 3): genuinely REAL for library-free formats — PPM/uncompressed
-BMP images and PCM WAV audio decode with stdlib+numpy (core/media.py) and
-produce content features (8×8 grayscale thumbnail; duration/RMS/ZCR/FFT-band
-energies). Compressed formats (JPEG/PNG/MP4...) still raise
-NotImplementedError with the plug-a-codec contract, because the container
-has no Pillow/librosa/av (verified). ``decode=fake`` remains the
+DECODE (rounds 3-4): genuinely REAL for library-free formats —
+PPM/uncompressed BMP images, PNG (stdlib zlib inflate + spec unfiltering —
+a real COMPRESSED format, round 4), and PCM WAV audio decode with
+stdlib+numpy (core/media.py) and produce content features (8×8 grayscale
+thumbnail; duration/RMS/ZCR/FFT-band energies). Remaining compressed
+formats (JPEG/MP4...) still raise NotImplementedError with the
+plug-a-codec contract, because the container has no Pillow/librosa/av
+(verified). ``decode=fake`` remains the
 deterministic hash stub for tests that don't care about content. The
 Spark-side plumbing — schema, batch iteration, partition sizing — is what
 matters at 100 TB: payload bytes never enter a shuffle; features are
@@ -52,12 +54,16 @@ def _real_decode(payload: bytes, kind: str, mime: str = "") -> list[float]:
         return M.image_feature(M.decode_ppm(payload))
     if payload.startswith(b"BM"):
         return M.image_feature(M.decode_bmp(payload))
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        # REAL compressed-image decode: stdlib zlib inflate + spec
+        # unfiltering (core/media.py decode_png) — no codec plug needed
+        return M.image_feature(M.decode_png(payload))
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return M.audio_feature(*M.decode_wav(payload))
     raise NotImplementedError(
         f"decode for {mime or kind!r} requires Pillow/torchaudio/av, not "
         "available in this container; plug the codec in here "
-        "(signature: bytes, kind -> ndarray). PPM/BMP/WAV decode natively."
+        "(signature: bytes, kind -> ndarray). PPM/BMP/PNG/WAV decode natively."
     )
 
 
