@@ -9,11 +9,14 @@ COMPRESSED formats — uncompressed containers need no codec:
 - PNG (8-bit gray/RGB/palette/alpha, non-interlaced): REAL compressed
   decode — stdlib ``zlib`` inflate + spec §9 scanline unfiltering
   (round 4; alpha composited over white, palette via PLTE);
+- baseline JPEG (core/jpeg.py, round 4): full T.81 baseline decode —
+  DQT/DHT-declared tables, canonical Huffman, 4:2:0 subsampling, restart
+  markers, grayscale; progressive raises ValueError;
 - WAV (PCM 8/16-bit): stdlib ``wave``.
 
 These decoders make the engine's multimodal path genuinely functional end
 to end for those formats (decode → feature extraction → Spark plumbing),
-while JPEG/MP4 keep the explicit plug-a-codec NotImplementedError.
+while video (MP4) keeps the explicit plug-a-codec NotImplementedError.
 Features are real content statistics: images → 8×8 block-mean grayscale
 thumbnail (the classic perceptual-hash precursor); audio → RMS,
 zero-crossing rate, and log-energy in 8 FFT bands.

@@ -58,12 +58,20 @@ def _real_decode(payload: bytes, kind: str, mime: str = "") -> list[float]:
         # REAL compressed-image decode: stdlib zlib inflate + spec
         # unfiltering (core/media.py decode_png) — no codec plug needed
         return M.image_feature(M.decode_png(payload))
+    if payload.startswith(b"\xff\xd8"):
+        # REAL baseline-JPEG decode (core/jpeg.py — DQT/DHT-declared
+        # tables, 4:2:0, restart markers, grayscale); progressive files
+        # raise ValueError at the documented baseline boundary
+        from ..core.jpeg import decode_jpeg
+
+        return M.image_feature(decode_jpeg(payload))
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return M.audio_feature(*M.decode_wav(payload))
     raise NotImplementedError(
-        f"decode for {mime or kind!r} requires Pillow/torchaudio/av, not "
+        f"decode for {mime or kind!r} requires torchaudio/av, not "
         "available in this container; plug the codec in here "
-        "(signature: bytes, kind -> ndarray). PPM/BMP/PNG/WAV decode natively."
+        "(signature: bytes, kind -> ndarray). "
+        "PPM/BMP/PNG/baseline-JPEG/WAV decode natively."
     )
 
 
