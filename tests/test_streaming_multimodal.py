@@ -409,3 +409,34 @@ def test_png_through_extract_features(spark):
     assert row["n_bytes"] == len(payload)
     want = M.image_feature(img)
     assert np.allclose(np.array(row["feature"]), np.array(want), atol=1e-6)
+
+
+def test_mp4_box_tree_metadata():
+    """ISO-BMFF struct walk: brand, v0/v1 mvhd duration, track handlers,
+    mdat size — built from raw boxes (no codec involved)."""
+    import struct
+
+    from x5_ner_spark.core.media import parse_mp4_meta
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    # v0 mvhd: timescale 1000, duration 7500 -> 7.5 s
+    mvhd0 = box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, 1000, 7500) + bytes(80))
+    hdlr_v = box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    hdlr_s = box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    moov = box(b"moov", mvhd0
+               + box(b"trak", box(b"mdia", hdlr_v))
+               + box(b"trak", box(b"mdia", hdlr_s)))
+    payload = box(b"ftyp", b"isom" + bytes(8)) + moov + box(b"mdat", b"\x00" * 321)
+    meta = parse_mp4_meta(payload)
+    assert meta["brand"] == "isom"
+    assert meta["duration_s"] == 7.5
+    assert meta["tracks"] == ["vide", "soun"]
+    assert meta["mdat_bytes"] == 321
+
+    # v1 mvhd (64-bit times): timescale 600, duration 1200 -> 2.0 s
+    mvhd1 = box(b"mvhd", bytes([1]) + bytes(3)
+                + struct.pack(">QQIQ", 0, 0, 600, 1200) + bytes(80))
+    meta1 = parse_mp4_meta(box(b"moov", mvhd1))
+    assert meta1["duration_s"] == 2.0

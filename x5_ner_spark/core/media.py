@@ -245,6 +245,53 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+def parse_mp4_meta(payload: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) box-tree metadata — pure struct walk, no codec:
+    brand (ftyp), movie duration from mvhd (v0/v1 timescale), per-track
+    handler types, and the mdat payload size. Frame DECODE stays the
+    plug-a-codec boundary; this makes the video path's metadata real so
+    frame_sample_plan can schedule from an actual container duration."""
+    out: dict = {"brand": None, "duration_s": None, "tracks": [], "mdat_bytes": 0}
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            box = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                break
+            if box == b"ftyp":
+                out["brand"] = payload[body : body + 4].decode("ascii", "replace")
+            elif box == b"mdat":
+                out["mdat_bytes"] += size - (body - pos)
+            elif box == b"mvhd":
+                # v0: creation(4) mod(4) timescale(4) duration(4) at +4;
+                # v1: creation(8) mod(8) timescale(4) duration(8)
+                if payload[body] == 1:
+                    (ts,) = struct.unpack_from(">I", payload, body + 20)
+                    (dur,) = struct.unpack_from(">Q", payload, body + 24)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, body + 12)
+                if ts:
+                    out["duration_s"] = dur / ts
+            elif box == b"hdlr":
+                out["tracks"].append(
+                    payload[body + 8 : body + 12].decode("ascii", "replace")
+                )
+            elif box in (b"moov", b"trak", b"mdia"):
+                walk(body, pos + size)
+            pos += size
+
+    walk(0, len(payload))
+    return out
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (float64 mono samples in [-1, 1], sample_rate)."""
     with wave.open(io.BytesIO(payload), "rb") as wf:
