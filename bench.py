@@ -79,8 +79,15 @@ def run_headline(master: str, include_pipeline: bool = True) -> dict:
     spark = get_spark(master=master, app_name="x5-bench")
     qs = entrymod.queries()
     times: dict[str, float] = {}
-    # warm the JVM/Python workers once so per-query times measure the plan
+    # warm the JVM/Python workers once so per-query times measure the plan,
+    # not cold-fork imports: one JVM-only query plus one small Arrow stage
+    # (the python-worker pool for pandas-UDF stages)
     _noop_write(qs["filter_project"](spark, SF_DIR))
+    if include_pipeline:
+        from x5_ner_spark.pipeline import fused as _fused
+        from x5_ner_spark.pipeline.fixtures import pages_df as _pages_df
+
+        _noop_write(_fused.fused_triples(_pages_df(spark, 2000)))
 
     total = 0.0
     for name in HEADLINE:
