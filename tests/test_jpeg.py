@@ -13,7 +13,6 @@ import pytest
 
 from x5_ner_spark.core.jpeg import (
     _A,
-    _ZZ_FLAT,
     _extend,
     _magnitude,
     _zigzag_order,

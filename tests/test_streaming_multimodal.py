@@ -440,3 +440,17 @@ def test_mp4_box_tree_metadata():
                 + struct.pack(">QQIQ", 0, 0, 600, 1200) + bytes(80))
     meta1 = parse_mp4_meta(box(b"moov", mvhd1))
     assert meta1["duration_s"] == 2.0
+
+
+def test_png_roundtrip_random_sizes():
+    """Property sweep: exact round-trip across sizes (incl. 1-pixel rows/
+    cols) and filter types."""
+    import numpy as np
+
+    from x5_ner_spark.core import media as M
+
+    rng = np.random.RandomState(11)
+    for h, w in ((1, 1), (1, 7), (5, 1), (3, 4), (17, 2)):
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for f in range(5):
+            assert (M.decode_png(M.encode_png(img, filter_type=f)) == img).all()

@@ -147,3 +147,32 @@ def test_fused_stage_under_subword_checkpoint(spark, ckpt):
     # driver-side provider_for calls in this test session)
     n_workers = int(spark.sparkContext.defaultParallelism)
     assert 1 <= load_count(ckpt) <= 2 * n_workers + 2
+
+
+def test_tokenizer_properties_random_words():
+    """Property sweep: pieces tile the word contiguously; concatenating
+    piece surfaces (continuations stripped of '##') reconstructs the word
+    unless the word collapsed to [UNK]."""
+    import random
+
+    vocab = VOCAB + [UNK, BOS, EOS] + list("абвгдежзик")
+    tok = SubwordTokenizer(vocab)
+    piece_by_id = {i: p for i, p in enumerate(vocab)}
+    rng = random.Random(42)
+    alphabet = "абвгдежзик"
+    for _ in range(300):
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        pieces = tok.word_pieces(word)
+        # contiguous tiling from 0 to len(word)
+        assert pieces[0][1] == 0 and pieces[-1][2] == len(word)
+        for (pa, sa, ea, ca), (pb, sb, eb, cb) in zip(pieces, pieces[1:]):
+            assert ea == sb
+        if not (len(pieces) == 1 and piece_by_id[pieces[0][0]] == UNK):
+            rebuilt = "".join(
+                piece_by_id[p].lstrip("#") for p, _, _, _ in pieces
+            )
+            assert rebuilt == word
+            # offsets match the piece surfaces
+            for p, s, e, c in pieces:
+                assert word[s:e] == piece_by_id[p].lstrip("#")
+                assert c == (s > 0)

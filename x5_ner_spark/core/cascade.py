@@ -24,7 +24,6 @@ from .textnorm import (
     is_pure_latin,
     lex_norm,
     lexicon_levenshtein_hit,
-    norm_basic,
     norm_token_simple,
     wratio_lexicon_hit,
 )
