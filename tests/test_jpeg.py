@@ -95,13 +95,14 @@ def test_flat_block_is_exact_dc_only():
     assert len(data) < 400
 
 
-def test_progressive_rejected():
+def test_lossless_and_arithmetic_sofs_rejected():
     img = _gradient(8, 8)
-    data = bytearray(encode_jpeg(img))
-    i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="non-baseline"):
-        decode_jpeg(bytes(data))
+    for sof in (0xC3, 0xC9, 0xCB):  # lossless, arith sequential, arith lossless
+        data = bytearray(encode_jpeg(img))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = sof
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(bytes(data))
 
 
 def test_byte_stuffing_roundtrip():
@@ -129,3 +130,133 @@ def test_jpeg_through_extract_features(spark):
     row = extract_features(df, decode="real").collect()[0]
     want = M.image_feature(decode_jpeg(payload))
     assert np.allclose(np.array(row["feature"]), np.array(want), atol=1e-6)
+
+
+# ------------------------------------------------------------- progressive
+
+
+def test_progressive_pixel_identical_to_baseline():
+    """Progressive (SOF2: DC first+refine, per-component AC spectral scans
+    at Al=1 plus AC refinement to Al=0) carries the SAME quantized
+    coefficients as baseline — decoded pixels must match exactly."""
+    from x5_ner_spark.core.jpeg import encode_jpeg_progressive
+
+    img = _gradient(24, 20)
+    for sub in ("4:4:4", "4:2:0"):
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub))
+        assert (base == prog).all(), sub
+
+
+def test_progressive_noise_and_used_block_geometry():
+    from x5_ner_spark.core.jpeg import encode_jpeg_progressive
+
+    ones = np.ones((8, 8), dtype=np.uint8)
+    rng = np.random.RandomState(3)
+    # noise stresses every refinement path; 17px width at 4:2:0 makes the
+    # luma used-block count (3/row) smaller than its MCU grid (4/row), so
+    # non-interleaved AC scans must skip the dummy column (spec A.2.2)
+    for shape, sub in (((16, 24), "4:4:4"), ((17, 17), "4:2:0")):
+        img = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub,
+                                       quant_luma=ones, quant_chroma=ones))
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub,
+                                                   quant_luma=ones,
+                                                   quant_chroma=ones))
+        assert (base == prog).all(), (shape, sub)
+
+
+def test_ac_refinement_scan_fuzz():
+    """Entropy-layer fuzz: AC first scan at Al=1 then refinement to Al=0
+    reconstructs arbitrary coefficient blocks exactly (EOB runs, ZRL over
+    history coefficients, buffered correction bits)."""
+    from x5_ner_spark.core.jpeg import (
+        _ac_first,
+        _ac_first_block_tokens,
+        _ac_refine,
+        _ac_refine_block_tokens,
+        _BitReader,
+        _BitWriter,
+        _build_table,
+        _canonical_codes,
+        _decode_table,
+        _flush_eobrun,
+    )
+
+    def run_scan(blocks_state, tokens, fn, al):
+        freqs: dict = {}
+        for t in tokens:
+            if t[0] == "sym":
+                freqs[t[1]] = freqs.get(t[1], 0) + 1
+        bv = _build_table(freqs)
+        enc = _canonical_codes(*bv)
+        table = _decode_table(*bv)
+        bw = _BitWriter()
+        for t in tokens:
+            if t[0] == "sym":
+                c, ln = enc[t[1]]
+                bw.write(c, ln)
+            else:
+                bw.write(t[1], t[2])
+        br = _BitReader(bw.flush() + b"\xff\xd9", 0)
+        state = {"eobrun": 0}
+        for zz in blocks_state:
+            fn(br, zz, table, 1, 63, al, state)
+
+    rng = np.random.RandomState(7)
+    for _ in range(300):
+        blocks = []
+        for _ in range(rng.randint(1, 6)):
+            zz = np.zeros(64, dtype=np.int64)
+            for _ in range(rng.randint(0, 12)):
+                zz[rng.randint(1, 64)] = rng.randint(-15, 16)
+            blocks.append(zz)
+        t1, st = [], {"eobrun": 0, "br": []}
+        for zz in blocks:
+            _ac_first_block_tokens(zz, 1, 63, 1, t1, st)
+        _flush_eobrun(t1, st)
+        t2, st = [], {"eobrun": 0, "br": []}
+        for zz in blocks:
+            _ac_refine_block_tokens(zz, 1, 63, 0, t2, st)
+        _flush_eobrun(t2, st)
+        out = [np.zeros(64, dtype=np.int64) for _ in blocks]
+        run_scan(out, t1, _ac_first, 1)
+        run_scan(out, t2, _ac_refine, 0)
+        for b, g in zip(blocks, out):
+            assert (g[1:] == b[1:]).all()
+
+
+def test_ac_refine_hand_crafted_bitstream():
+    """Decoder semantics pinned against a hand-built refinement stream (no
+    encoder involved): history correction + EOB0 with trailing correction
+    bit."""
+    from x5_ner_spark.core.jpeg import (
+        _ac_refine,
+        _BitReader,
+        _BitWriter,
+        _canonical_codes,
+        _decode_table,
+    )
+
+    # table: symbol 0x01 -> code 0 (len 2), symbol 0x00 (EOB0) -> code 1 (len 2)
+    bits = [0, 2] + [0] * 14
+    vals = [0x01, 0x00]
+    table = _decode_table(bits, vals)
+    enc = _canonical_codes(bits, vals)
+
+    # state after a first scan at Al=1: zz[3] = 2 (history)
+    zz = np.zeros(64, dtype=np.int64)
+    zz[3] = 2
+    # stream: (0,1) sym, sign=1 -> newly significant +1 at first zero-history
+    # slot (k=1); then correction bit 1 for zz[3] read during the walk?? no —
+    # run r=0 places at k=1 immediately; next symbol EOB0, whose tail reads
+    # zz[3]'s correction bit (1 -> 2+1=3).
+    bw = _BitWriter()
+    c, ln = enc[0x01]; bw.write(c, ln)   # (r=0, s=1)
+    bw.write(1, 1)                        # sign: positive
+    c, ln = enc[0x00]; bw.write(c, ln)   # EOB0
+    bw.write(1, 1)                        # correction bit for zz[3]
+    br = _BitReader(bw.flush() + b"\xff\xd9", 0)
+    state = {"eobrun": 0}
+    _ac_refine(br, zz, table, 1, 63, 0, state)
+    assert zz[1] == 1 and zz[3] == 3 and state["eobrun"] == 0

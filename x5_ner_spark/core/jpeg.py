@@ -1,20 +1,22 @@
-"""Baseline-sequential JPEG codec — pure stdlib + numpy (ITU T.81 spec).
+"""JPEG codec — pure stdlib + numpy (ITU T.81 spec), no external libraries.
 
-The container has no Pillow, but baseline JPEG needs no external codec:
-entropy coding is canonical Huffman over (run, size) symbols, the transform
-is the 8×8 DCT, and every table the decoder needs (quantization, Huffman)
-is DECLARED IN THE FILE (DQT/DHT segments) — so the decoder handles real
-web/camera baseline JPEGs regardless of which tables their encoder chose,
-including 4:2:0 chroma subsampling, restart markers, and grayscale.
-Progressive (SOF2) and arithmetic-coded files raise ValueError — the
-documented baseline-only boundary.
+The container has no Pillow, but JPEG's Huffman modes need no external
+codec: entropy coding is canonical Huffman over (run, size) symbols, the
+transform is the 8×8 DCT, and every table the decoder needs (quantization,
+Huffman) is DECLARED IN THE FILE (DQT/DHT segments) — so the decoder
+handles real web/camera JPEGs regardless of which tables their encoder
+chose. Supported: BASELINE (SOF0/1 — 4:2:0, restart markers, grayscale)
+and PROGRESSIVE (SOF2 — spectral selection, successive approximation, DC
+and AC first/refinement scans, EOB runs, the non-interleaved used-block
+geometry of A.2.2). Lossless / hierarchical / arithmetic-coded SOFs raise
+ValueError.
 
-The encoder exists as the fixture/round-trip side: it emits spec-conformant
-baseline streams (JFIF color transform, per-image canonical Huffman tables
-built from actual symbol frequencies, optional 4:2:0), so tests exercise
-the decoder's marker walk, table construction, bit unstuffing, MCU
-interleave, dequant/IDCT and upsampling against independently-computed
-pixels.
+The encoders exist as the fixture/round-trip side: spec-conformant
+baseline AND progressive streams (JFIF color transform, per-scan canonical
+Huffman tables built from actual symbol frequencies), so tests pin the
+decoder with independently-computed pixels — the progressive encoding of
+an image must decode PIXEL-IDENTICAL to its baseline encoding (same
+quantized coefficients, two entropy representations).
 
 Everything here is a pure function of its inputs (core/ rule: no Spark).
 """
@@ -472,18 +474,53 @@ def encode_jpeg_gray(
 # ------------------------------------------------------------------ decode
 
 
+def _scan_geometry(comps: list[dict], h: int, w: int) -> dict:
+    """MCU grid + per-component block dims. ``grid`` dims cover the padded
+    MCU lattice (what interleaved scans code, dummy blocks included);
+    ``used`` dims cover ceil(component_size/8) (what NON-interleaved scans
+    code — strictly smaller for a full-res component under subsampling
+    when the image width is not an MCU multiple, spec A.2.2)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    geo = {"hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+           "grid": [], "used": []}
+    for c in comps:
+        gw, gh = mcus_x * c["h"], mcus_y * c["v"]
+        uw = -(-(-(-w * c["h"] // hmax)) // 8)
+        uh = -(-(-(-h * c["v"] // vmax)) // 8)
+        geo["grid"].append((gh, gw))
+        geo["used"].append((min(uh, gh), min(uw, gw)))
+    return geo
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next real marker byte pair."""
+    while pos < len(payload) - 1:
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    return len(payload)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 (h, w, 3) RGB. Reads DQT/DHT/SOF0/SOS/DRI;
-    supports 1 or 3 components, sampling factors 1-2, restart markers."""
+    """JPEG -> uint8 (h, w, 3) RGB. Baseline (SOF0/1) AND progressive
+    (SOF2: spectral selection + successive approximation, DC and AC
+    first/refinement scans, EOB runs) — tables read from the file, 1 or 3
+    components, sampling factors 1-2, restart markers. Hierarchical /
+    lossless / arithmetic-coded SOFs raise ValueError."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[dict] = []
+    coefs: list[np.ndarray] = []
+    geo: dict | None = None
     h = w = None
     restart_interval = 0
-    while pos < len(payload):
+    while pos < len(payload) - 1:
         if payload[pos] != 0xFF:
             pos += 1
             continue
@@ -495,7 +532,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         (seglen,) = struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
+        if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
@@ -514,85 +551,219 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 htabs[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/extended)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            geo = _scan_geometry(comps, h, w)
+            coefs = [
+                np.zeros((gh, gw, 64), dtype=np.int64) for gh, gw in geo["grid"]
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF marker 0x{marker:02x})")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if geo is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            scan_cis = []
             for c in range(ns):
                 cid, tables = body[1 + 2 * c], body[2 + 2 * c]
-                for comp in comps:
+                for ci, comp in enumerate(comps):
                     if comp["id"] == cid:
                         comp["td"], comp["ta"] = tables >> 4, tables & 0x0F
-            pos += seglen
-            return _decode_scan(
-                payload, pos, h, w, comps, qtabs, htabs, restart_interval
+                        scan_cis.append(ci)
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_scan(
+                payload, pos + seglen, comps, coefs, geo, htabs,
+                scan_cis, ss, se, ah, al, restart_interval,
             )
+            continue
         pos += seglen
-    raise ValueError("JPEG missing SOS")
+    if geo is None or not coefs:
+        raise ValueError("JPEG missing SOF/SOS")
+    return _reconstruct(h, w, comps, coefs, geo, qtabs)
 
 
-def _decode_scan(payload, pos, h, w, comps, qtabs, htabs, restart_interval):
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        ph = mcus_y * c["v"] * 8
-        pw = mcus_x * c["h"] * 8
-        planes.append(np.zeros((ph, pw)))
+def _decode_scan(
+    payload, pos, comps, coefs, geo, htabs, scan_cis, ss, se, ah, al,
+    restart_interval,
+):
+    """One entropy-coded scan into the coefficient arrays (zigzag order per
+    block). Handles baseline full-band scans and all four progressive scan
+    shapes (T.81 G.1.2). Returns the payload position of the next marker."""
     br = _BitReader(payload, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_to_marker()
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, c in enumerate(comps):
-                q = qtabs[c["tq"]]
+    interleaved = len(scan_cis) > 1
+    pred = {ci: 0 for ci in scan_cis}
+    state = {"eobrun": 0}
+
+    def units():
+        """Yield lists of (ci, by, bx) — one list per restart unit (MCU for
+        interleaved scans, one block otherwise)."""
+        if interleaved:
+            for my in range(geo["mcus_y"]):
+                for mx in range(geo["mcus_x"]):
+                    unit = []
+                    for ci in scan_cis:
+                        c = comps[ci]
+                        for b in range(c["h"] * c["v"]):
+                            unit.append(
+                                (ci, my * c["v"] + b // c["h"],
+                                 mx * c["h"] + b % c["h"])
+                            )
+                    yield unit
+        else:
+            ci = scan_cis[0]
+            uh, uw = geo["used"][ci]
+            for by in range(uh):
+                for bx in range(uw):
+                    yield [(ci, by, bx)]
+
+    n_done = 0
+    for unit in units():
+        if restart_interval and n_done and n_done % restart_interval == 0:
+            br.align_to_marker()
+            pred = {ci: 0 for ci in scan_cis}
+            state["eobrun"] = 0
+        n_done += 1
+        for ci, by, bx in unit:
+            c = comps[ci]
+            zz = coefs[ci][by, bx]
+            if ss == 0 and ah == 0:
+                # DC first (progressive) or full-band (baseline)
                 dct = htabs[(0, c["td"])]
-                act = htabs[(1, c["ta"])]
-                for b in range(c["h"] * c["v"]):
-                    zz = np.zeros(64, dtype=np.float64)
-                    size = _read_huff_symbol(br, dct)
-                    diff = _extend(br.read(size), size)
-                    pred[ci] += diff
-                    zz[0] = pred[ci]
+                size = _read_huff_symbol(br, dct)
+                pred[ci] += _extend(br.read(size), size)
+                zz[0] = pred[ci] << al
+                if se > 0:  # baseline full-band: AC follows inline
+                    act = htabs[(1, c["ta"])]
                     k = 1
-                    while k < 64:
+                    while k <= se:
                         sym = _read_huff_symbol(br, act)
-                        if sym == 0x00:  # EOB
+                        if sym == 0x00:
                             break
                         run, size = sym >> 4, sym & 0x0F
-                        if sym == 0xF0:  # ZRL
+                        if sym == 0xF0:
                             k += 16
                             continue
                         k += run
-                        if k > 63:
+                        if k > se:
                             raise ValueError("AC run past block end")
                         zz[k] = _extend(br.read(size), size)
                         k += 1
-                    # natural[n] = zigzag_vec[zigzag_position_of(n)]
-                    coeffs = zz[_ZZ_FLAT]
-                    block = coeffs.reshape(8, 8) * q
-                    spatial = _A.T @ block @ _A + 128.0
-                    by = my * c["v"] + b // c["h"]
-                    bx = mx * c["h"] + b % c["h"]
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
-    # upsample to full resolution and crop
+            elif ss == 0:  # DC refinement: one raw bit per block
+                zz[0] |= br.read(1) << al
+            elif ah == 0:
+                _ac_first(br, zz, htabs[(1, c["ta"])], ss, se, al, state)
+            else:
+                _ac_refine(br, zz, htabs[(1, c["ta"])], ss, se, al, state)
+    return _next_marker(payload, br.pos)
+
+
+def _ac_first(br, zz, act, ss, se, al, state):
+    """Progressive AC initial scan (G.1.2.2): run/size symbols with EOB-run
+    extension; coefficients arrive at precision ``al``."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _read_huff_symbol(br, act)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _extend(br.read(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, zz, act, ss, se, al, state):
+    """Progressive AC refinement scan (G.1.2.3): newly-significant
+    coefficients arrive as ±1<<al; already-nonzero coefficients receive one
+    correction bit each (append 1<<al toward larger magnitude when set)."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(idx):
+        if br.read(1) and (zz[idx] & p1) == 0:
+            zz[idx] += p1 if zz[idx] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] > 0:
+        # block inside an EOB run: correction bits only, then consume one
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+        return
+    eob_hit = False
+    while k <= se:
+        sym = _read_huff_symbol(br, act)
+        r, s = sym >> 4, sym & 0x0F
+        newval = 0
+        if s == 0:
+            if r != 15:
+                # EOB_r ends THIS block and skips (1<<r)-1+extra more
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read(r)
+                eob_hit = True
+                break
+            # r == 15: pass over 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError("refinement size must be 1")
+            newval = p1 if br.read(1) else m1
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            zz[k] = newval
+        k += 1
+    if eob_hit:
+        # the ending block still carries correction bits for its remaining
+        # nonzero-history coefficients (the run count covers FURTHER blocks)
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+
+
+def _reconstruct(h, w, comps, coefs, geo, qtabs):
+    """Dequantize + IDCT every block, upsample chroma, color-convert."""
+    planes = []
+    for ci, c in enumerate(comps):
+        gh, gw = geo["grid"][ci]
+        q = qtabs[c["tq"]]
+        plane = np.empty((gh * 8, gw * 8))
+        for by in range(gh):
+            for bx in range(gw):
+                block = coefs[ci][by, bx][_ZZ_FLAT].reshape(8, 8) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ block @ _A + 128.0
+                )
+        planes.append(plane)
     full = []
     for c, p in zip(comps, planes):
-        ry, rx = vmax // c["v"], hmax // c["h"]
+        ry, rx = geo["vmax"] // c["v"], geo["hmax"] // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
@@ -600,3 +771,238 @@ def _decode_scan(payload, pos, h, w, comps, qtabs, htabs, restart_interval):
         g = np.clip(full[0], 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=2)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# ------------------------------------------------- progressive encoder
+
+
+def _flush_eobrun(tokens, state):
+    n = state["eobrun"]
+    if n == 0:
+        return
+    r = n.bit_length() - 1
+    tokens.append(("sym", r << 4))
+    if r:
+        tokens.append(("bits", n - (1 << r), r))
+    tokens.extend(state["br"])
+    state["br"] = []
+    state["eobrun"] = 0
+
+
+def _ac_first_block_tokens(zz, ss, se, al, tokens, state):
+    """Inverse of _ac_first for one block (values at precision ``al``)."""
+    vals = []
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        v = (abs(c) >> al)
+        vals.append(-v if c < 0 else v)
+    last_nz = -1
+    for i, v in enumerate(vals):
+        if v != 0:
+            last_nz = i
+    if last_nz < 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(tokens, state)
+        return
+    _flush_eobrun(tokens, state)
+    r = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            tokens.append(("sym", 0xF0))
+            r -= 16
+        size, bits = _magnitude(v)
+        tokens.append(("sym", (r << 4) | size))
+        tokens.append(("bits", bits, size))
+        r = 0
+    if last_nz < se - ss:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(tokens, state)
+
+
+def _ac_refine_block_tokens(zz, ss, se, al, tokens, state):
+    """Inverse of _ac_refine for one block (G.1.2.3): newly-significant
+    coefficients as (run,1)+sign; correction bits for history coefficients
+    buffer and flush with the NEXT emitted symbol, and ZRLs drain at every
+    nonzero position — the decoder's walk passes history coefficients
+    without consuming run, so the encoder must emit a ZRL the moment the
+    pending run exceeds 15 zeros BEFORE any nonzero (history included), not
+    only at the next newly-significant coefficient."""
+    vals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_i = -1
+    for i, v in enumerate(vals):
+        if v == 1:
+            eob_i = i
+    r = 0
+    pending: list = []
+    for i, v in enumerate(vals):
+        if v == 0:
+            r += 1
+            continue
+        # drain ZRLs unless the remaining zeros fold into the EOB run
+        while r > 15 and i <= eob_i:
+            _flush_eobrun(tokens, state)
+            tokens.append(("sym", 0xF0))
+            tokens.extend(pending)
+            pending = []
+            r -= 16
+        if v > 1:  # history coefficient: one correction bit, run unaffected
+            pending.append(("bits", v & 1, 1))
+            continue
+        # newly significant
+        _flush_eobrun(tokens, state)
+        tokens.append(("sym", (r << 4) | 1))
+        tokens.append(("bits", 1 if int(zz[ss + i]) > 0 else 0, 1))
+        tokens.extend(pending)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        state["eobrun"] += 1
+        state["br"].extend(pending)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(tokens, state)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    subsampling: str = "4:4:4",
+    quant_luma: np.ndarray = _QUANT_LUMA,
+    quant_chroma: np.ndarray = _QUANT_CHROMA,
+) -> bytes:
+    """uint8 (h, w, 3) RGB -> PROGRESSIVE (SOF2) JPEG with the classic scan
+    script: DC first at Al=1 + DC refinement, then per-component AC first
+    scans (spectral 1-63) at Al=1 and AC refinement scans down to Al=0 —
+    every decoder branch (successive approximation, spectral selection,
+    EOB runs, correction bits) is exercised by its output."""
+    h, w, _ = img.shape
+    ycc = _rgb_to_ycbcr(img)
+    if subsampling == "4:2:0":
+        hs = vs = 2
+    elif subsampling == "4:4:4":
+        hs = vs = 1
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling}")
+
+    y = _pad_to(ycc[:, :, 0], 8 * vs, 8 * hs)
+    cbf = _pad_to(ycc[:, :, 1], 8 * vs, 8 * hs)
+    crf = _pad_to(ycc[:, :, 2], 8 * vs, 8 * hs)
+    if hs == 2:
+        cb = cbf.reshape(cbf.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+        cr = crf.reshape(crf.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+    else:
+        cb, cr = cbf, crf
+
+    q = [quant_luma.astype(np.float64), quant_chroma.astype(np.float64)]
+    comps_meta = [
+        {"id": 1, "h": hs, "v": vs, "tq": 0},
+        {"id": 2, "h": 1, "v": 1, "tq": 1},
+        {"id": 3, "h": 1, "v": 1, "tq": 1},
+    ]
+    grids = []
+    for plane, qid in ((y, 0), (cb, 1), (cr, 1)):
+        blocks = _blocks(plane)
+        g = np.empty((blocks.shape[0], blocks.shape[1], 64), dtype=np.int64)
+        for by in range(blocks.shape[0]):
+            for bx in range(blocks.shape[1]):
+                f = _A @ (blocks[by, bx] - 128.0) @ _A.T
+                g[by, bx] = np.round(f / q[qid]).astype(np.int64).reshape(-1)[_INV_ZZ]
+        grids.append(g)
+    geo = _scan_geometry(comps_meta, h, w)
+
+    def mcu_blocks():
+        for my in range(geo["mcus_y"]):
+            for mx in range(geo["mcus_x"]):
+                for ci, c in enumerate(comps_meta):
+                    for b in range(c["h"] * c["v"]):
+                        yield ci, my * c["v"] + b // c["h"], mx * c["h"] + b % c["h"]
+
+    def used_blocks(ci):
+        uh, uw = geo["used"][ci]
+        for by in range(uh):
+            for bx in range(uw):
+                yield grids[ci][by, bx]
+
+    # ---- build scans as token lists
+    scans = []  # (scan_comps=[(ci, td, ta)], ss, se, ah, al, tokens, table_kind)
+    DC_AL, AC_AL = 1, 1
+
+    # DC first (interleaved, shared dc table 0)
+    tokens: list = []
+    pred = [0, 0, 0]
+    for ci, by, bx in mcu_blocks():
+        v = int(grids[ci][by, bx][0]) >> DC_AL
+        size, bits = _magnitude(v - pred[ci])
+        pred[ci] = v
+        tokens.append(("sym", size))
+        tokens.append(("bits", bits, size))
+    scans.append(([0, 1, 2], 0, 0, 0, DC_AL, tokens, "dc"))
+
+    # DC refinement (raw bits, no table)
+    tokens = []
+    for ci, by, bx in mcu_blocks():
+        tokens.append(("bits", (int(grids[ci][by, bx][0]) >> 0) & 1, 1))
+    scans.append(([0, 1, 2], 0, 0, DC_AL, 0, tokens, None))
+
+    # AC first + refinement per component
+    for ci in range(3):
+        tokens = []
+        state = {"eobrun": 0, "br": []}
+        for zz in used_blocks(ci):
+            _ac_first_block_tokens(zz, 1, 63, AC_AL, tokens, state)
+        _flush_eobrun(tokens, state)
+        scans.append(([ci], 1, 63, 0, AC_AL, tokens, "ac"))
+    for ci in range(3):
+        tokens = []
+        state = {"eobrun": 0, "br": []}
+        for zz in used_blocks(ci):
+            _ac_refine_block_tokens(zz, 1, 63, 0, tokens, state)
+        _flush_eobrun(tokens, state)
+        scans.append(([ci], 1, 63, AC_AL, 0, tokens, "ac"))
+
+    # ---- serialize
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for qid, qt in ((0, quant_luma), (1, quant_chroma)):
+        out += seg(0xFFDB, bytes([qid]) + bytes(qt.reshape(-1)[_INV_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for c in comps_meta:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xFFC2, sof)  # SOF2: progressive
+
+    for scan_cis, ss, se, ah, al, tokens, kind in scans:
+        if kind is not None:
+            freqs: dict[int, int] = {}
+            for t in tokens:
+                if t[0] == "sym":
+                    freqs[t[1]] = freqs.get(t[1], 0) + 1
+            bits_vals = _build_table(freqs)
+            enc = _canonical_codes(*bits_vals)
+            tc = 0 if kind == "dc" else 1
+            out += seg(0xFFC4, bytes([(tc << 4) | 0]) + bytes(bits_vals[0])
+                       + bytes(bits_vals[1]))
+        else:
+            enc = {}
+        sos = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            sos += bytes([comps_meta[ci]["id"], 0x00])  # td=0, ta=0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        bw = _BitWriter()
+        for t in tokens:
+            if t[0] == "sym":
+                code, ln = enc[t[1]]
+                bw.write(code, ln)
+            else:
+                _, val, nb = t
+                bw.write(val, nb)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
