@@ -454,3 +454,49 @@ def test_png_roundtrip_random_sizes():
         img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
         for f in range(5):
             assert (M.decode_png(M.encode_png(img, filter_type=f)) == img).all()
+
+
+def test_gif_lzw_roundtrip_and_interlace():
+    """Real LZW both ways: palette-lattice images round-trip losslessly,
+    interlaced row order reconstructs, sub-blocks split at 255 bytes, and
+    the dictionary-reset path engages on long inputs."""
+    import numpy as np
+
+    from x5_ner_spark.core.media import decode_gif, encode_gif
+
+    rng = np.random.RandomState(5)
+    # palette-lattice image (64-color cube -> 4 levels/channel: 0,85,170,255)
+    lattice = np.array([0, 85, 170, 255], dtype=np.uint8)
+    img = lattice[rng.randint(0, 4, size=(23, 17, 3))]
+    for interlaced in (False, True):
+        out = decode_gif(encode_gif(img, n_colors=64, interlaced=interlaced))
+        assert out.shape == img.shape
+        assert (out == img).all(), interlaced
+
+    # large repetitive image: LZW dictionary grows deep and resets
+    big = lattice[rng.randint(0, 2, size=(80, 120, 3))]
+    data = encode_gif(big, n_colors=64)
+    assert (decode_gif(data) == big).all()
+    assert len(data) < big.size  # it actually compressed
+
+    # KwKwK case: aaa... runs produce the code==next_code branch
+    run = np.zeros((4, 40, 3), dtype=np.uint8)
+    assert (decode_gif(encode_gif(run, n_colors=8)) == run).all()
+
+
+def test_gif_through_extract_features(spark):
+    import numpy as np
+
+    from x5_ner_spark.core import media as M
+    from x5_ner_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    lattice = np.array([0, 85, 170, 255], dtype=np.uint8)
+    img = lattice[np.random.RandomState(9).randint(0, 4, size=(16, 16, 3))]
+    payload = M.encode_gif(img)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "image/gif", 16, 16, None)],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(df, decode="real").collect()[0]
+    assert np.allclose(np.array(row["feature"]),
+                       np.array(M.image_feature(img)), atol=1e-6)

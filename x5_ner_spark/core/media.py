@@ -245,6 +245,211 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF LZW (variable-width, LSB-first bit packing — opposite of JPEG):
+    clear = 2^min, EOI = clear+1; dictionary grows by one entry per decoded
+    code; width bumps when the next code would not fit, capped at 12."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # truncated stream: emit what we have
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width = reset()
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Real LZW compression (dictionary entries grow, exercising the
+    decoder's table path — an 'uncompressed' writer would not)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur: tuple[int, ...] = ()
+    for px in indices:
+        cand = cur + (px,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            # decoder bumps width when next_code reaches 2^width
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = (px,)
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → uint8 (h, w, 3) RGB. Real LZW decode,
+    global/local color tables, interlacing, 255-byte sub-block chains;
+    extensions are skipped (animation: first image only)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image without a color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(b"".join(chunks), min_code)
+        if len(idx) < w * h:
+            idx = idx + [0] * (w * h - len(idx))
+        grid = np.array(idx[: w * h], dtype=np.int64).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+            de = np.empty_like(grid)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for row in range(start, h, step):
+                    de[row] = grid[src]
+                    src += 1
+            grid = de
+        return ct[np.clip(grid, 0, len(ct) - 1)].astype(np.uint8)
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif(
+    arr: np.ndarray, n_colors: int = 64, interlaced: bool = False
+) -> bytes:
+    """uint8 (h, w, 3) → GIF89a (fixture/round-trip helper): a deterministic
+    uniform-quantized palette (values rounded to the palette lattice, so
+    palette-exact images round-trip losslessly), real LZW compression,
+    optional interlacing, 255-byte sub-blocks."""
+    h, w, _ = arr.shape
+    bits = max((int(n_colors) - 1).bit_length(), 1)
+    n = 1 << bits
+    # uniform lattice palette over each channel (levels per channel)
+    levels = int(round(n ** (1 / 3)))
+    while levels ** 3 > n:
+        levels -= 1
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    i = 0
+    for r in range(levels):
+        for g in range(levels):
+            for b in range(levels):
+                pal[i] = [r * 255 // max(levels - 1, 1),
+                          g * 255 // max(levels - 1, 1),
+                          b * 255 // max(levels - 1, 1)]
+                i += 1
+    # nearest palette index per pixel (exact for palette-lattice inputs)
+    fl = arr.reshape(-1, 3).astype(np.int64)
+    d = ((fl[:, None, :] - pal[None, :, :].astype(np.int64)) ** 2).sum(axis=2)
+    idx = d.argmin(axis=1).reshape(h, w)
+    if interlaced:
+        rows = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        idx = idx[rows]
+    data = _gif_lzw_encode(idx.reshape(-1).tolist(), bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += bytes(pal.reshape(-1))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+    out += bytes([bits])
+    for lo in range(0, len(data), 255):
+        chunk = data[lo : lo + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def parse_mp4_meta(payload: bytes) -> dict:
     """ISO-BMFF (MP4/MOV) box-tree metadata — pure struct walk, no codec:
     brand (ftyp), movie duration from mvhd (v0/v1 timescale), per-track

@@ -65,13 +65,16 @@ def _real_decode(payload: bytes, kind: str, mime: str = "") -> list[float]:
         from ..core.jpeg import decode_jpeg
 
         return M.image_feature(decode_jpeg(payload))
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        # real LZW decode incl. interlacing (core/media.py decode_gif)
+        return M.image_feature(M.decode_gif(payload))
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return M.audio_feature(*M.decode_wav(payload))
     raise NotImplementedError(
         f"decode for {mime or kind!r} requires torchaudio/av, not "
         "available in this container; plug the codec in here "
         "(signature: bytes, kind -> ndarray). "
-        "PPM/BMP/PNG/baseline-JPEG/WAV decode natively."
+        "PPM/BMP/PNG/GIF/JPEG/WAV decode natively."
     )
 
 
