@@ -500,3 +500,36 @@ def test_gif_through_extract_features(spark):
     row = extract_features(df, decode="real").collect()[0]
     assert np.allclose(np.array(row["feature"]),
                        np.array(M.image_feature(img)), atol=1e-6)
+
+
+def test_extract_features_on_error_null_survives_corrupt_payloads(spark):
+    """At corpus scale malformed media is guaranteed; on_error='null' must
+    keep the task alive — corrupt rows get feature=NULL + an error string,
+    good rows still decode."""
+    import numpy as np
+
+    from x5_ner_spark.core import media as M
+    from x5_ner_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    good = M.encode_ppm(np.full((4, 4, 3), 7, dtype=np.uint8))
+    rows = [
+        (1, "image", bytearray(good), "image/ppm", 4, 4, None),
+        # right magic, garbage body — decoder internals must not leak as
+        # task-killing IndexErrors
+        (2, "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x01" * 20), "image/png", 0, 0, None),
+        (3, "image", bytearray(b"\xff\xd8\xff" + b"\x02" * 30), "image/jpeg", 0, 0, None),
+        (4, "image", bytearray(b"GIF89a" + b"\x03" * 10), "image/gif", 0, 0, None),
+        (5, "video", bytearray(b"\x00\x00\x00\x18ftypisom"), "video/mp4", 0, 0, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           extract_features(df, decode="real", on_error="null").collect()}
+    assert got[1]["feature"] is not None and got[1]["error"] is None
+    for mid in (2, 3, 4, 5):
+        assert got[mid]["feature"] is None, mid
+        assert got[mid]["error"], mid
+
+    # strict mode still fails fast
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        extract_features(df, decode="real", on_error="raise").collect()

@@ -78,32 +78,55 @@ def _real_decode(payload: bytes, kind: str, mime: str = "") -> list[float]:
     )
 
 
-def extract_features(media: DataFrame, decode: str = "fake", batch_rows: int = 256) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    decode: str = "fake",
+    batch_rows: int = 256,
+    on_error: str = "raise",
+) -> DataFrame:
     """media(MEDIA_SCHEMA) → FEATURE_SCHEMA via mapInPandas. Binary payloads
-    stay inside the scan partition — only the small feature vector survives."""
+    stay inside the scan partition — only the small feature vector survives.
+
+    ``on_error``: at corpus scale malformed payloads are GUARANTEED, and one
+    bad row must not fail the Spark task (and with it the stage's retries).
+    ``"null"`` catches per-row decode failures and emits feature=NULL plus
+    an ``error`` column (exception type + message) for triage/lineage;
+    ``"raise"`` (default) keeps strict fail-fast semantics for tests."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    schema = FEATURE_SCHEMA if on_error == "raise" else FEATURE_SCHEMA + ", error string"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo : lo + batch_rows]
-                feats = []
+                feats: list = []
+                errors: list = []
                 for payload, kind, mime in zip(
                     chunk["payload"], chunk["kind"], chunk["mime"]
                 ):
-                    if decode == "real":
-                        feats.append(_real_decode(payload, kind, mime or ""))
-                    else:
-                        feats.append(_fake_feature(payload))
-                yield pd.DataFrame(
-                    {
-                        "media_id": chunk["media_id"],
-                        "kind": chunk["kind"],
-                        "n_bytes": [len(p) if p is not None else 0 for p in chunk["payload"]],
-                        "feature": feats,
-                    }
-                )
+                    try:
+                        if decode == "real":
+                            feats.append(_real_decode(payload, kind, mime or ""))
+                        else:
+                            feats.append(_fake_feature(payload))
+                        errors.append(None)
+                    except Exception as e:  # noqa: BLE001 — row-level policy
+                        if on_error == "raise":
+                            raise
+                        feats.append(None)
+                        errors.append(f"{type(e).__name__}: {e}"[:200])
+                out = {
+                    "media_id": chunk["media_id"],
+                    "kind": chunk["kind"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in chunk["payload"]],
+                    "feature": feats,
+                }
+                if on_error == "null":
+                    out["error"] = errors
+                yield pd.DataFrame(out)
 
-    return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(gen, schema=schema)
 
 
 def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
