@@ -767,8 +767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver contract: only the FIRST 50 registry entries are evaluated
     # (VERDICT r3 #5 — four green queries silently fell off at 54). Composite
     # queries (doc_stats, corpus_report) keep every covered behavior inside
-    # the window; this assert keeps the invariant load-bearing.
-    assert len(reg) <= 50, f"driver evaluates only 50 queries, got {len(reg)}"
+    # the window; an explicit raise (not `assert`, which vanishes under
+    # `python -O`) keeps the invariant load-bearing.
+    if len(reg) > 50:
+        raise ValueError(f"driver evaluates only 50 queries, got {len(reg)}")
     return reg
 
 

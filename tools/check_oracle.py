@@ -16,8 +16,10 @@ fetchall()+repr canon passed two queries the driver gate rejected):
   (rule: no array/map columns in queries() output — emit a scalar surface
   such as concat_ws/array_to_string for gate queries).
 * Cell values are compared by dtype-sensitive repr (int 0 != float 0.0);
-  floats are NOT rounded here — queries must round on both sides
-  themselves (repo convention: ROUND(x, 4) / F.round(x, 4)).
+  floats ARE rounded to 6 decimals in `_cell` (matching the driver's hash
+  canonicalization) — but dtype still distinguishes, so queries must STILL
+  round to 4 on both sides themselves (repo convention: ROUND(x, 4) /
+  F.round(x, 4)) to keep sub-1e-6 cross-engine float drift out of play.
 """
 
 from __future__ import annotations

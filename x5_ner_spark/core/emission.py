@@ -227,7 +227,7 @@ def provider_for(path: str):
     mtime = os.path.getmtime(key)
     hit = _PROVIDERS.get(key)
     if hit is None or hit[0] != mtime:
-        with np.load(key, allow_pickle=True) as z:
+        with np.load(key, allow_pickle=False) as z:
             is_subword = "vocab" in z.files
         if is_subword:
             from .subword import SubwordEmissionProvider

@@ -9,9 +9,12 @@ COMPRESSED formats — uncompressed containers need no codec:
 - PNG (8-bit gray/RGB/palette/alpha, non-interlaced): REAL compressed
   decode — stdlib ``zlib`` inflate + spec §9 scanline unfiltering
   (round 4; alpha composited over white, palette via PLTE);
-- baseline JPEG (core/jpeg.py, round 4): full T.81 baseline decode —
-  DQT/DHT-declared tables, canonical Huffman, 4:2:0 subsampling, restart
-  markers, grayscale; progressive raises ValueError;
+- JPEG (core/jpeg.py, round 4): full T.81 decode, baseline AND progressive
+  (SOF0/SOF2) — DQT/DHT-declared tables, canonical Huffman, 4:2:0
+  subsampling, restart markers, spectral selection + successive
+  approximation;
+- GIF87a/89a: real variable-width LZW decode, global/local color tables,
+  interlacing, first frame composited onto the logical-screen canvas;
 - WAV (PCM 8/16-bit): stdlib ``wave``.
 
 These decoders make the engine's multimodal path genuinely functional end
@@ -348,12 +351,15 @@ _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF87a/89a first frame → uint8 (h, w, 3) RGB. Real LZW decode,
-    global/local color tables, interlacing, 255-byte sub-block chains;
-    extensions are skipped (animation: first image only)."""
+    """GIF87a/89a first frame → uint8 (sh, sw, 3) RGB on the logical-screen
+    canvas. Real LZW decode, global/local color tables, interlacing,
+    255-byte sub-block chains; extensions are skipped (animation: first
+    image only). A frame smaller than / offset within the logical screen is
+    composited at its (top, left) over the LSD background color, so the
+    returned geometry always matches the container's declared canvas."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
+    sw, sh, packed, bg_index = struct.unpack_from("<HHBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -401,7 +407,23 @@ def decode_gif(payload: bytes) -> np.ndarray:
                     de[row] = grid[src]
                     src += 1
             grid = de
-        return ct[np.clip(grid, 0, len(ct) - 1)].astype(np.uint8)
+        frame = ct[np.clip(grid, 0, len(ct) - 1)].astype(np.uint8)
+        if left == 0 and top == 0 and (w, h) == (sw, sh):
+            return frame  # frame IS the canvas (the common/encoder case)
+        # Composite onto the logical-screen canvas (ADVICE r4): the
+        # container declares (sh, sw) geometry; a smaller/offset first
+        # frame sits at (top, left) over the background color from the LSD
+        # (global-table index; black when absent/out of range).
+        bg = (
+            gct[bg_index]
+            if gct is not None and (packed & 0x80) and bg_index < len(gct)
+            else np.zeros(3, dtype=np.uint8)
+        )
+        canvas = np.broadcast_to(
+            bg.astype(np.uint8), (max(sh, top + h), max(sw, left + w), 3)
+        ).copy()
+        canvas[top : top + h, left : left + w] = frame
+        return canvas
     raise ValueError("GIF contains no image block")
 
 
@@ -495,6 +517,269 @@ def parse_mp4_meta(payload: bytes) -> dict:
 
     walk(0, len(payload))
     return out
+
+
+def mp4_sample_table(payload: bytes) -> list[dict]:
+    """ISO-BMFF sample-table walk (moov→trak→mdia→minf→stbl): per track,
+    the codec fourcc (stsd entry 0), media timescale (mdhd), per-sample
+    decode times (stts expansion), sizes (stsz) and ABSOLUTE byte offsets
+    (stco/co64 chunk bases + stsc sample-to-chunk expansion + intra-chunk
+    size cumsum). This is the real container geometry an MJPEG decode needs
+    — each returned (offset, size) range IS one complete JPEG stream.
+
+    Returns [{handler, codec, timescale, times_s: ndarray, sizes: ndarray,
+    offsets: ndarray}] — one dict per track that carries a full stbl."""
+    tracks: list[dict] = []
+    cur: dict = {}
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        nonlocal cur
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            box = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                break
+            if box == b"trak":
+                cur = {}
+                walk(body, pos + size, depth + 1)
+                if {"sizes", "chunk_offsets", "stsc"} <= cur.keys():
+                    tracks.append(_expand_sample_table(cur))
+                cur = {}
+            elif box in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(body, pos + size, depth + 1)
+            elif box == b"mdhd":
+                if payload[body] == 1:
+                    (cur["timescale"],) = struct.unpack_from(">I", payload, body + 20)
+                else:
+                    (cur["timescale"],) = struct.unpack_from(">I", payload, body + 12)
+            elif box == b"hdlr":
+                cur["handler"] = payload[body + 8 : body + 12].decode("ascii", "replace")
+            elif box == b"stsd":
+                (n_entries,) = struct.unpack_from(">I", payload, body + 4)
+                if n_entries >= 1:
+                    cur["codec"] = payload[body + 12 : body + 16].decode(
+                        "ascii", "replace"
+                    )
+            elif box == b"stts":
+                (n,) = struct.unpack_from(">I", payload, body + 4)
+                pairs = np.frombuffer(
+                    payload, dtype=">u4", count=2 * n, offset=body + 8
+                ).reshape(n, 2)
+                cur["stts"] = pairs.astype(np.int64)
+            elif box == b"stsc":
+                (n,) = struct.unpack_from(">I", payload, body + 4)
+                cur["stsc"] = (
+                    np.frombuffer(payload, dtype=">u4", count=3 * n, offset=body + 8)
+                    .reshape(n, 3)
+                    .astype(np.int64)
+                )
+            elif box == b"stsz":
+                fixed, n = struct.unpack_from(">II", payload, body + 4)
+                if fixed:
+                    cur["sizes"] = np.full(n, fixed, dtype=np.int64)
+                else:
+                    cur["sizes"] = np.frombuffer(
+                        payload, dtype=">u4", count=n, offset=body + 12
+                    ).astype(np.int64)
+            elif box == b"stco":
+                (n,) = struct.unpack_from(">I", payload, body + 4)
+                cur["chunk_offsets"] = np.frombuffer(
+                    payload, dtype=">u4", count=n, offset=body + 8
+                ).astype(np.int64)
+            elif box == b"co64":
+                (n,) = struct.unpack_from(">I", payload, body + 4)
+                cur["chunk_offsets"] = np.frombuffer(
+                    payload, dtype=">u8", count=n, offset=body + 8
+                ).astype(np.int64)
+            pos += size
+
+    walk(0, len(payload))
+    return tracks
+
+
+def _expand_sample_table(cur: dict) -> dict:
+    """stsc/stco/stsz → absolute per-sample offsets; stts → decode times."""
+    sizes = cur["sizes"]
+    chunk_offsets = cur["chunk_offsets"]
+    stsc = cur["stsc"]
+    n_samples = len(sizes)
+    n_chunks = len(chunk_offsets)
+    # stsc runs: (first_chunk 1-based, samples_per_chunk, sdi) until the
+    # next entry's first_chunk (or the last chunk)
+    per_chunk = np.zeros(n_chunks, dtype=np.int64)
+    for i in range(len(stsc)):
+        first = int(stsc[i, 0]) - 1
+        last = int(stsc[i + 1, 0]) - 1 if i + 1 < len(stsc) else n_chunks
+        per_chunk[first:last] = stsc[i, 1]
+    offsets = np.zeros(n_samples, dtype=np.int64)
+    s = 0
+    for c in range(n_chunks):
+        base = int(chunk_offsets[c])
+        for _ in range(int(per_chunk[c])):
+            if s >= n_samples:
+                break
+            offsets[s] = base
+            base += int(sizes[s])
+            s += 1
+    timescale = int(cur.get("timescale", 1) or 1)
+    stts = cur.get("stts")
+    if stts is not None and len(stts):
+        deltas = np.repeat(stts[:, 1], stts[:, 0])[:n_samples]
+        starts = np.concatenate([[0], np.cumsum(deltas)[:-1]])
+    else:
+        starts = np.zeros(n_samples, dtype=np.int64)
+    return {
+        "handler": cur.get("handler", ""),
+        "codec": cur.get("codec", ""),
+        "timescale": timescale,
+        "times_s": starts.astype(np.float64) / timescale,
+        "sizes": sizes,
+        "offsets": offsets,
+    }
+
+
+_MJPEG_CODECS = ("jpeg", "mjpa", "mjpb", "mjpg", "MJPG", "AVDJ")
+
+
+def decode_video_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Decode one frame of an ISO-BMFF video by container geometry: the
+    sample table gives the frame's (offset, size) byte range in mdat; for
+    Motion-JPEG tracks each sample is a complete JPEG stream that
+    core/jpeg.py decodes natively — no external codec. Inter-coded codecs
+    (avc1/hev1/vp09/av01...) raise NotImplementedError: THE plug-a-codec
+    boundary (frames reference other frames; that needs libavcodec-class
+    machinery, not available here)."""
+    video = [t for t in mp4_sample_table(payload) if t["handler"] == "vide"]
+    if not video:
+        raise ValueError("no video track with a sample table")
+    t = video[0]
+    if t["codec"] not in _MJPEG_CODECS:
+        raise NotImplementedError(
+            f"frame decode for codec {t['codec']!r} requires an external "
+            "codec (libavcodec-class); plug it in here. MJPEG tracks "
+            f"({'/'.join(_MJPEG_CODECS[:4])}) decode natively via core/jpeg."
+        )
+    if not 0 <= frame_idx < len(t["sizes"]):
+        raise ValueError(f"frame {frame_idx} out of range ({len(t['sizes'])})")
+    lo = int(t["offsets"][frame_idx])
+    hi = lo + int(t["sizes"][frame_idx])
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(payload[lo:hi])
+
+
+def encode_mjpeg(frames: list[np.ndarray], fps: int = 4) -> bytes:
+    """Fixture/round-trip side: a REAL ISO-BMFF Motion-JPEG container —
+    ftyp + mdat of complete per-frame JPEG streams (core/jpeg.py baseline
+    encoder) + a spec-correct moov (mvhd/tkhd/mdhd/hdlr/stsd 'jpeg'/stts/
+    stsc/stsz/stco). Chunks hold up to 2 samples so the stsc expansion and
+    intra-chunk offset cumsum are genuinely exercised."""
+    from .jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    streams = [encode_jpeg(f) for f in frames]
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    def full(tag: bytes, body: bytes, version: int = 0) -> bytes:
+        return box(tag, struct.pack(">I", version << 24) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(streams)
+    mdat_header_at = len(ftyp)
+    mdat = box(b"mdat", mdat_payload)
+    # absolute sample offsets: chunks of ≤2 samples, contiguous in mdat
+    sizes = [len(s) for s in streams]
+    chunk_offsets: list[int] = []
+    pos = mdat_header_at + 8
+    for i in range(0, len(sizes), 2):
+        chunk_offsets.append(pos)
+        pos += sum(sizes[i : i + 2])
+
+    timescale = 1000
+    delta = timescale // fps
+    duration = delta * len(frames)
+    n = len(frames)
+
+    stsd_entry = (
+        struct.pack(">I", 86)
+        + b"jpeg"
+        + b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # predefined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1)  # depth, predefined
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + stsd_entry)
+    stts = full(b"stts", struct.pack(">III", 1, n, delta))
+    if n % 2 == 0 or n == 1:
+        stsc_entries = [(1, min(2, n), 1)]
+    else:  # odd tail chunk of 1 sample
+        stsc_entries = [(1, 2, 1), (len(chunk_offsets), 1, 1)] if n > 1 else [(1, 1, 1)]
+    stsc = full(
+        b"stsc",
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = full(
+        b"stco",
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), version=0)
+    dref = full(b"dref", struct.pack(">I", 1) + full(b"url ", b"", version=0))
+    dinf = box(b"dinf", dref)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    mdhd = full(
+        b"mdhd",
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),  # lang 'und'
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:

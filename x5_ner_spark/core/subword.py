@@ -27,7 +27,6 @@ the Arrow UDFs and in the pytest oracle.
 from __future__ import annotations
 
 import os
-from functools import lru_cache
 
 import numpy as np
 
@@ -59,7 +58,10 @@ def write_subword_checkpoint(
     v = len(vocab)
     np.savez(
         path,
-        vocab=np.array(vocab, dtype=object),
+        # fixed-width unicode (NOT dtype=object): lets every loader use
+        # allow_pickle=False — pickle loading is an arbitrary-code-execution
+        # surface if a checkpoint path is ever untrusted (ADVICE r4)
+        vocab=np.array(vocab),
         emb=(rng.randn(v, d_emb) / np.sqrt(d_emb)).astype("float32"),
         w1=(rng.randn(d_emb + 1, hidden) / np.sqrt(d_emb + 1)).astype("float32"),
         b1=(0.01 * rng.randn(hidden)).astype("float32"),
@@ -83,13 +85,19 @@ class SubwordTokenizer:
         self.piece_id = {p: i for i, p in enumerate(vocab)}
         self.unk_id = self.piece_id[UNK]
         self.max_piece_len = max((len(p.lstrip("#")) for p in vocab), default=1)
+        # per-INSTANCE cache (not @lru_cache on the bound method, which keys
+        # by (self, word) and pins every provider instance — incl. stale
+        # mtime-reloaded ones — for interpreter lifetime; ADVICE r4)
+        self._pieces_cache: dict[str, tuple] = {}
 
     def word_pieces(self, word: str) -> list[tuple[int, int, int, bool]]:
         """[(piece_id, rel_start, rel_end, is_continuation)] for one word."""
         return list(self._word_pieces_cached(word))
 
-    @lru_cache(maxsize=1 << 16)
     def _word_pieces_cached(self, word: str) -> tuple:
+        hit = self._pieces_cache.get(word)
+        if hit is not None:
+            return hit
         pid = self.piece_id
         out: list[tuple[int, int, int, bool]] = []
         pos, n = 0, len(word)
@@ -105,10 +113,15 @@ class SubwordTokenizer:
                     break
                 end -= 1
             if match is None:
-                return ((self.unk_id, 0, n, False),)  # whole-word UNK
+                out = [(self.unk_id, 0, n, False)]  # whole-word UNK
+                break
             out.append(match)
             pos = match[2]
-        return tuple(out)
+        got = tuple(out)
+        if len(self._pieces_cache) > (1 << 16):
+            self._pieces_cache.clear()
+        self._pieces_cache[word] = got
+        return got
 
     def encode_text(
         self, text: str, max_len: int
@@ -145,7 +158,7 @@ class SubwordEmissionProvider:
     seq_level = True
 
     def __init__(self, path: str):
-        with np.load(path, allow_pickle=True) as z:
+        with np.load(path, allow_pickle=False) as z:
             vocab = [str(p) for p in z["vocab"]]
             self.emb = z["emb"].astype("float64")
             self.w1 = z["w1"].astype("float64")
