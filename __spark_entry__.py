@@ -386,18 +386,15 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling operator: per-group min/max/exact median/p90 (linear
     interpolation — order statistics, drift-free across engines) over
-    lineitem prices. percentile() is Spark's exact variant (sort-based per
-    group); at scale the group key bounds the sort."""
+    lineitem prices. exact=True (percentile(), sort-based per group) is
+    deliberate for the cross-engine hash; exact=False is the tested
+    approx_percentile 100× switch (operators/text_stats.numeric_profile)."""
+    from x5_ner_spark.operators.text_stats import numeric_profile
+
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "_price", F.col("l_extendedprice").cast("double")
     )
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.min("_price"), 4).alias("min_price"),
-        F.round(F.max("_price"), 4).alias("max_price"),
-        F.round(F.expr("percentile(_price, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(_price, 0.9)"), 4).alias("p90_price"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
+    return numeric_profile(li, "l_returnflag", "_price", exact=True)
 
 
 def q_error_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

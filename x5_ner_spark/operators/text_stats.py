@@ -241,6 +241,29 @@ def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 10_000) -> Da
     )
 
 
+def numeric_profile(
+    df: DataFrame, group_col: str, value_col: str, exact: bool = True
+) -> DataFrame:
+    """Per-group min/max/median/p90/count profile.
+
+    ``exact`` is the 100× knob (SCALE.md): ``percentile()`` is Spark's
+    exact order-statistics variant — a per-group sort whose cost and memory
+    grow with group size, kept as the DEFAULT because the cross-engine
+    oracle hashes its values. ``exact=False`` switches to
+    ``approx_percentile`` (KLL/t-digest-style mergeable sketch, map-side
+    combinable, bounded memory per group regardless of group size) — the
+    switch production flips at 10^12 rows, trading exactness inside the
+    sketch's rank-error bound."""
+    pct = "percentile" if exact else "approx_percentile"
+    return df.groupBy(group_col).agg(
+        F.round(F.min(value_col), 4).alias("min_price"),
+        F.round(F.max(value_col), 4).alias("max_price"),
+        F.round(F.expr(f"{pct}({value_col}, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr(f"{pct}({value_col}, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def pmi_collocations(
     docs: DataFrame, min_pair_count: int = 5, top_k: int = 20,
 ) -> DataFrame:
