@@ -65,9 +65,13 @@ def _pages_from_parquet(spark, n_pages: int, sentences: int, partitions: int):
     path = os.path.join(
         tempfile.gettempdir(), f"x5bench_pages_{n_pages}_{sentences}_{partitions}"
     )
-    pages_df(spark, n_pages, partitions=partitions, sentences=sentences).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # the fixture is deterministic in (n_pages, sentences, partitions) — a
+    # completed prior materialization is byte-identical, so reuse it (large
+    # soaks would otherwise spend their window regenerating input)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pages_df(spark, n_pages, partitions=partitions, sentences=sentences).write.mode(
+            "overwrite"
+        ).parquet(path)
     return spark.read.parquet(path)
 
 

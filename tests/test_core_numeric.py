@@ -56,3 +56,65 @@ def test_numeric_differential_vs_reference():
     ]
     for text in [t for t, _ in GOLDEN] + extra:
         assert numeric_spans(text) == [tuple(x) for x in ref.preprocess_query(text)], text
+
+
+def test_adjective_pair_first_char_gate_edge_cases():
+    """The round-5 first-char gate (_ADJ_FIRST_CHARS) must be an EXACT
+    superset of "normalized token starts with больш/огромн": letter-run
+    collapse ("бооольшой"→"большой"), case, and ё in the NOUN must all
+    still fire; lookalikes must not."""
+    from x5_ner_spark.core.numeric import explicit_numeric_spans
+
+    def pair_spans(text):
+        return [sp for sp in explicit_numeric_spans(text)
+                if sp[2] in ("B-VOLUME", "I-VOLUME")]
+
+    # fires: adjective+noun adjacency through normalization
+    for text in [
+        "большой объем", "Большой объем", "ОГРОМНЫЙ обьем",
+        "бооольшой объем",            # 3+ run collapses to "большой"
+        "огромная объемная",          # startswith огромн + объем
+        "большущий объём скидок",     # ё in noun normalizes to е
+    ]:
+        got = pair_spans(text)
+        assert len(got) == 2 and got[0][2] == "B-VOLUME" and got[1][2] == "I-VOLUME", (
+            text, got)
+
+    # must NOT fire
+    for text in [
+        "объем большой",              # wrong order
+        "небольшой объем",            # prefix doesn't start the token
+        "большой пакет",              # noun mismatch
+        "бол ьшой объем",             # adjacency broken by tokenization
+    ]:
+        assert pair_spans(text) == [], text
+
+
+def test_shared_regex_gates_are_exact_supersets():
+    """Round-5 per-pattern gates ('%' / 'проц' / x×* substring screens) must
+    never suppress a real match: compare gated _shared_regex_spans against
+    an ungated recompute over adversarial gate-heavy fuzz."""
+    import random
+
+    import x5_ner_spark.core.numeric as N
+
+    def ungated(text):
+        if not N._has_digit(text):
+            return dict(N._NO_SHARED)
+        return {
+            "pct_sign": [m.span() for m in N.RE_PERCENT_SIGN.finditer(text)],
+            "pct_word": [m.span() for m in N.RE_PERCENT_WORD.finditer(text)],
+            "multipack": [m.span() for m in N.RE_MULTIPACK.finditer(text)],
+            "volume": [m.span() for m in N.RE_VOLUME.finditer(text)],
+        }
+
+    rng = random.Random(7)
+    pieces = [
+        "50%", "проц", "Процентов", "3x2", "5×2мл", "4*3 л", "процент",
+        "ПРОЦ", "x", "×", "*", "молоко", "3,5", "творог", "пять",
+        "пол-литра", "объем", "большой", "1 л", "10шт", "0", "100", "%",
+        "2 Проце", "xx5", "5X10мл", "прОц.", "77 проц",
+    ]
+    for _ in range(4000):
+        t = " ".join(rng.choice(pieces) for _ in range(rng.randint(1, 12)))
+        assert N._shared_regex_spans(t) == ungated(t), t

@@ -116,7 +116,9 @@ def final_mention_spans_batch(
             continue
         toks = tokenize_with_offsets(t)
         words = [(s, e) for _, s, e in toks]
-        tkeys = [(norm_token_simple(t[s:e]), i > 0) for i, (s, e) in enumerate(words)]
+        # the token string IS t[s:e] (match-span slice) — reuse it instead
+        # of constructing a fresh slice per token (round-5 kernel pass)
+        tkeys = [(norm_token_simple(w), i > 0) for i, (w, _, _) in enumerate(toks)]
         words_per_text.append(words)
         toks_per_text.append(toks)
         keys_per_text.append(tkeys)

@@ -85,16 +85,23 @@ from functools import lru_cache
 
 @lru_cache(maxsize=256)
 def _tokenize_cached(text: str) -> tuple[tuple[str, int, int], ...]:
-    # listcomp (not genexpr) — tuple() over a list skips 200k+ generator
-    # resumptions per 4k-doc batch
-    return tuple([(m.group(0), m.start(), m.end()) for m in WORD_RE.finditer(text)])
+    # one m.span() call + a slice instead of three Match-method calls per
+    # token: ~18%/core off tokenization (interleaved A/B, round 5); the
+    # slice equals m.group(0) by definition of a match span
+    out = []
+    for m in WORD_RE.finditer(text):
+        s, e = m.span()
+        out.append((text[s:e], s, e))
+    return tuple(out)
 
 
-def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
+def tokenize_with_offsets(text: str) -> tuple[tuple[str, int, int], ...]:
     """Word tokens with char offsets (ref word pattern improved_preprocessing.py:12).
     Small LRU so the detect pass and the numeric pass of the SAME document
-    tokenize once (cache is per Python worker, bounded)."""
-    return list(_tokenize_cached(text))
+    tokenize once (cache is per Python worker, bounded). Returns the cached
+    IMMUTABLE tuple directly (round 5: every caller iterates/indexes; the
+    old per-call list() copy was pure overhead)."""
+    return _tokenize_cached(text)
 
 
 # --- cheap superset pre-checks gating the expensive regex scans -----------
@@ -123,22 +130,48 @@ def _has_digit(text: str) -> bool:
 
 _WORDNUM_TRIGGER_RE = _stdre.compile("|".join(_WORDNUM_TRIGGERS))
 
+# first raw chars that can open a "больш*/огромн*" adjective after
+# normalization (lower + ё→е keep б/о; WORD_RE tokens start with a letter)
+_ADJ_FIRST_CHARS = frozenset("БбОо")
+
 
 def _has_wordnum_trigger(low: str) -> bool:
     # one compiled-alternation scan instead of 17 substring scans per doc
     return _WORDNUM_TRIGGER_RE.search(low) is not None
 
 
-def _shared_regex_spans(text: str) -> dict[str, list[tuple[int, int]]]:
+_NO_SHARED: dict[str, list[tuple[int, int]]] = {
+    "pct_sign": [], "pct_word": [], "multipack": [], "volume": [],
+}
+
+
+def _shared_regex_spans(
+    text: str, low: str | None = None
+) -> dict[str, list[tuple[int, int]]]:
     """The four regexes used by BOTH the explicit extractor and the implicit
     pass's explicit-guard (ref recomputes them; we scan once per text).
-    All four require a digit — gated on the cheap superset check."""
+    All four require a digit; three have an additional REQUIRED literal that
+    a C-level substring check screens for exactly (round-5 per-pattern
+    gates): '%' for pct_sign, 'проц' (casefolded) for pct_word, one of
+    x/X/×/* for multipack. A gate firing spuriously only costs the regex
+    scan it replaced; a gate can never suppress a real match."""
     if not _has_digit(text):
-        return {"pct_sign": [], "pct_word": [], "multipack": [], "volume": []}
+        return dict(_NO_SHARED)
+    if low is None:
+        low = text.lower()
     return {
-        "pct_sign": [m.span() for m in RE_PERCENT_SIGN.finditer(text)],
-        "pct_word": [m.span() for m in RE_PERCENT_WORD.finditer(text)],
-        "multipack": [m.span() for m in RE_MULTIPACK.finditer(text)],
+        "pct_sign": (
+            [m.span() for m in RE_PERCENT_SIGN.finditer(text)]
+            if "%" in text else []
+        ),
+        "pct_word": (
+            [m.span() for m in RE_PERCENT_WORD.finditer(text)]
+            if "проц" in low else []
+        ),
+        "multipack": (
+            [m.span() for m in RE_MULTIPACK.finditer(text)]
+            if ("x" in low or "×" in text or "*" in text) else []
+        ),
         "volume": [m.span() for m in RE_VOLUME.finditer(text)],
     }
 
@@ -147,14 +180,18 @@ def explicit_numeric_spans(
     text: str,
     tokens: list[tuple[str, int, int]] | None = None,
     shared: dict[str, list[tuple[int, int]]] | None = None,
+    low: str | None = None,
 ) -> list[Span]:
     """Explicit percent/volume/multipack/word-number mentions
-    (ref: improved_preprocessing.py:163-207)."""
-    shared = shared if shared is not None else _shared_regex_spans(text)
+    (ref: improved_preprocessing.py:163-207). ``low`` lets the caller share
+    one text.lower() across the gates (numeric_spans computes it once)."""
+    if low is None:
+        low = text.lower()
+    shared = shared if shared is not None else _shared_regex_spans(text, low)
     out: list[Span] = []
     for key in ("pct_sign", "pct_word"):
         out.extend((s, e, "B-PERCENT") for s, e in shared[key])
-    if _has_wordnum_trigger(text.lower()):
+    if _has_wordnum_trigger(low):
         for rx in (RE_WORD_PERCENT, RE_HALF_PERCENT):
             for m in rx.finditer(text):
                 out.append((m.start(), m.end(), "B-PERCENT"))
@@ -165,16 +202,21 @@ def explicit_numeric_spans(
         out.extend((s, e, "B-VOLUME") for s, e in shared[key])
     out.extend(out_wordnum)
 
-    # adjective + volume-noun phrases: "больш*/огромн*" + "объем*/обьем*"
+    # adjective + volume-noun phrases: "больш*/огромн*" + "объем*/обьем*".
+    # normalize_token preserves the first letter (lower + ё→е only — WORD_RE
+    # tokens start with a letter, and the 3+-run collapse keeps char 0), so
+    # a cheap first-char gate skips normalization for the ~96% of tokens
+    # that can't start the pair (round-5 kernel pass; exactness pinned by
+    # the byte-exact differentials + pair fuzz in test_core_numeric)
     toks = tokens if tokens is not None else tokenize_with_offsets(text)
-    norms = [normalize_token(t) for t, _, _ in toks]
     for i in range(len(toks) - 1):
-        a, b = norms[i], norms[i + 1]
-        if not a or not b:
+        if toks[i][0][0] not in _ADJ_FIRST_CHARS:
             continue
-        if (a.startswith("больш") or a.startswith("огромн")) and (
-            b.startswith("объем") or b.startswith("обьем")
-        ):
+        a = normalize_token(toks[i][0])
+        if not (a.startswith("больш") or a.startswith("огромн")):
+            continue
+        b = normalize_token(toks[i + 1][0])
+        if b.startswith("объем") or b.startswith("обьем"):
             out.append((toks[i][1], toks[i][2], "B-VOLUME"))
             out.append((toks[i + 1][1], toks[i + 1][2], "I-VOLUME"))
     return sorted(out)
@@ -203,8 +245,6 @@ def implicit_numeric_spans(
     matches = [m.span() for m in RE_NUMBER.finditer(text)]
     if not matches:
         return []
-    raw_toks = tokens if tokens is not None else tokenize_with_offsets(text)
-    toks = [(normalize_token(t), s, e) for t, s, e in raw_toks]
 
     shared = shared if shared is not None else _shared_regex_spans(text)
     explicit: list[tuple[int, int]] = [
@@ -214,7 +254,17 @@ def implicit_numeric_spans(
     def overlaps_explicit(s: int, e: int) -> bool:
         return any(es < e and ee > s for es, ee in explicit)
 
+    # normalized tokens are only consulted by neighbors(); most matches die
+    # on the explicit-overlap guard first (a number inside "50мл" IS the
+    # explicit volume span), so normalize lazily on first surviving match
+    # (round-5 kernel pass — skips a full normalize_token sweep per doc)
+    toks: list[tuple[str, int, int]] | None = None
+
     def neighbors(pos: int, window: int = 20) -> list[str]:
+        nonlocal toks
+        if toks is None:
+            raw_toks = tokens if tokens is not None else tokenize_with_offsets(text)
+            toks = [(normalize_token(t), s, e) for t, s, e in raw_toks]
         lo, hi = pos - window, pos + window
         return [t for t, s, e in toks if s < hi and e > lo and t]
 
@@ -317,10 +367,11 @@ def numeric_spans(
     LRU thrashes when an Arrow batch is larger than its capacity."""
     if tokens is None:
         tokens = tokenize_with_offsets(text)
-    shared = _shared_regex_spans(text)
+    low = text.lower()
+    shared = _shared_regex_spans(text, low)
     merged = collapse_overlaps(
         sorted(
-            explicit_numeric_spans(text, tokens, shared)
+            explicit_numeric_spans(text, tokens, shared, low)
             + implicit_numeric_spans(text, fatty_words, tokens, shared)
         )
     )
