@@ -118,3 +118,33 @@ def test_shared_regex_gates_are_exact_supersets():
     for _ in range(4000):
         t = " ".join(rng.choice(pieces) for _ in range(rng.randint(1, 12)))
         assert N._shared_regex_spans(t) == ungated(t), t
+
+
+def test_split_all_equals_three_pass_composition():
+    """_split_all (round-5 fused pass) ≡ _split_spaced(PERCENT) then
+    _split_spaced(VOLUME) then _split_multipack, on adversarial span sets
+    over texts with spaces and multiplier chars in every position."""
+    import random
+
+    from x5_ner_spark.core.numeric import (
+        _split_all,
+        _split_multipack,
+        _split_spaced,
+    )
+
+    rng = random.Random(13)
+    alphabet = "ab х×*x 12 мл %"
+    tags = ["B-PERCENT", "I-PERCENT", "B-VOLUME", "I-VOLUME", "B-BRAND"]
+    for _ in range(3000):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        spans = []
+        for _ in range(rng.randint(0, 6)):
+            if not text:
+                break
+            s = rng.randrange(0, len(text))
+            e = rng.randrange(s + 1, len(text) + 1)
+            spans.append((s, e, rng.choice(tags)))
+        want = _split_multipack(
+            text, _split_spaced(text, _split_spaced(text, spans, "PERCENT"), "VOLUME")
+        )
+        assert _split_all(text, spans) == want, (text, spans)

@@ -190,7 +190,8 @@ def explicit_numeric_spans(
     shared = shared if shared is not None else _shared_regex_spans(text, low)
     out: list[Span] = []
     for key in ("pct_sign", "pct_word"):
-        out.extend((s, e, "B-PERCENT") for s, e in shared[key])
+        if shared[key]:  # skip genexpr construction for the common empty case
+            out.extend((s, e, "B-PERCENT") for s, e in shared[key])
     if _has_wordnum_trigger(low):
         for rx in (RE_WORD_PERCENT, RE_HALF_PERCENT):
             for m in rx.finditer(text):
@@ -199,8 +200,10 @@ def explicit_numeric_spans(
     else:
         out_wordnum = []
     for key in ("multipack", "volume"):
-        out.extend((s, e, "B-VOLUME") for s, e in shared[key])
-    out.extend(out_wordnum)
+        if shared[key]:
+            out.extend((s, e, "B-VOLUME") for s, e in shared[key])
+    if out_wordnum:
+        out.extend(out_wordnum)
 
     # adjective + volume-noun phrases: "больш*/огромн*" + "объем*/обьем*".
     # normalize_token preserves the first letter (lower + ё→е only — WORD_RE
@@ -369,12 +372,48 @@ def numeric_spans(
         tokens = tokenize_with_offsets(text)
     low = text.lower()
     shared = _shared_regex_spans(text, low)
+    # collapse_overlaps sorts internally — no pre-sort of the concat needed
     merged = collapse_overlaps(
-        sorted(
-            explicit_numeric_spans(text, tokens, shared, low)
-            + implicit_numeric_spans(text, fatty_words, tokens, shared)
-        )
+        explicit_numeric_spans(text, tokens, shared, low)
+        + implicit_numeric_spans(text, fatty_words, tokens, shared)
     )
-    out = _split_spaced(text, merged, "PERCENT")
-    out = _split_spaced(text, out, "VOLUME")
-    return _split_multipack(text, out)
+    return _split_all(text, merged)
+
+
+def _split_all(text: str, spans: list[Span]) -> list[Span]:
+    """One pass ≡ _split_spaced(PERCENT) ∘ _split_spaced(VOLUME) ∘
+    _split_multipack: the three passes touch disjoint tags (B-PERCENT /
+    B-VOLUME; multipack only ever re-splits a B-VOLUME head the space split
+    produced), so their composition fuses into a single list build
+    (round-5 kernel pass; equivalence pinned by the composition test in
+    test_core_numeric.py and the byte-exact reference differentials)."""
+    out: list[Span] = []
+    for s, e, tag in spans:
+        if tag == "B-PERCENT":
+            idx = text.find(" ", s, e)
+            if idx != -1:
+                out.append((s, idx, tag))
+                out.append((idx + 1, e, "I-PERCENT"))
+                continue
+        elif tag == "B-VOLUME":
+            head_e = e
+            tail = None
+            idx = text.find(" ", s, e)
+            if idx != -1:
+                head_e = idx
+                tail = (idx + 1, e, "I-VOLUME")
+            m = _RE_MULTIPLIER_CHAR.search(text, s, head_e)
+            if m:
+                cut = m.start()
+                if s < cut < head_e:
+                    out.append((s, cut, tag))
+                    out.append((cut, head_e, "I-VOLUME"))
+                    if tail:
+                        out.append(tail)
+                    continue
+            out.append((s, head_e, tag))
+            if tail:
+                out.append(tail)
+            continue
+        out.append((s, e, tag))
+    return out
