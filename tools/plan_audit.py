@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump `.explain("formatted")` plans of the headline queries to
-BENCH/plans_r4.txt — the plan-discipline artifact: pushed filters, broadcast
+BENCH/plans_r5.txt — the plan-discipline artifact: pushed filters, broadcast
 joins, exchange counts, and WholeStageCodegen spans are auditable without
 re-running Spark. Re-generate after any operator change:
 
@@ -35,7 +35,7 @@ def main() -> None:
 
     spark = get_spark(master="local[4]", app_name="plan-audit", shuffle_partitions=8)
     qs = entrymod.queries()
-    out_path = os.path.join(REPO, "BENCH", "plans_r4.txt")
+    out_path = os.path.join(REPO, "BENCH", "plans_r5.txt")
     with open(out_path, "w") as out:
         out.write("# .explain('formatted') of headline queries at %s\n" % SF_DIR)
         for name in AUDIT:

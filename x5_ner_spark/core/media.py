@@ -18,8 +18,11 @@ COMPRESSED formats — uncompressed containers need no codec:
 - WAV (PCM 8/16-bit): stdlib ``wave``.
 
 These decoders make the engine's multimodal path genuinely functional end
-to end for those formats (decode → feature extraction → Spark plumbing),
-while video (MP4) keeps the explicit plug-a-codec NotImplementedError.
+to end for those formats (decode → feature extraction → Spark plumbing).
+Motion-JPEG video decodes natively too (round 5: mp4_sample_table walks
+the real ISO-BMFF stsd/stts/stsc/stsz/stco geometry; decode_video_frame
+feeds each sample to core/jpeg.py); only INTER-CODED codecs
+(avc1/hev1/...) keep the explicit plug-a-codec NotImplementedError.
 Features are real content statistics: images → 8×8 block-mean grayscale
 thumbnail (the classic perceptual-hash precursor); audio → RMS,
 zero-crossing rate, and log-energy in 8 FFT bands.
@@ -99,37 +102,55 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 def _png_unfilter(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     """One PNG scanline reconstruction (spec §9 'Filtering'): cur is the
     filtered byte row, prev the RECONSTRUCTED prior row, bpp the bytes per
-    complete pixel. int16/int32 intermediates, mod-256 writebacks."""
+    complete pixel.
+
+    Round-5 perf: Sub is a per-byte-lane cumsum (each lane r::bpp is an
+    independent running sum mod 256 — one vectorized numpy op per lane);
+    Up is vectorized; Average/Paeth carry a sequential dependency along the
+    row, so they run as plain-int list loops — numpy SCALAR indexing costs
+    ~100 ns/element, which made the old array-indexed loops the slowest
+    kernel in the media bench (PNG 0.30 MB/s/core)."""
     n = len(cur)
-    out = cur.astype(np.int32)
     if ftype == 0:  # None
-        pass
-    elif ftype == 1:  # Sub: Recon(x) = Filt(x) + Recon(a)
+        return cur.copy()
+    if ftype == 1:  # Sub: Recon(x) = Filt(x) + Recon(a) — per-lane cumsum
+        out = cur.astype(np.uint32)
+        for r in range(bpp):
+            np.cumsum(out[r::bpp], out=out[r::bpp])
+        return (out & 0xFF).astype(np.uint8)
+    if ftype == 2:  # Up
+        return ((cur.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
+    if ftype == 3:  # Average: + floor((a + b) / 2)
+        o = cur.tolist()
+        p = prev.tolist()
+        for i in range(bpp):
+            o[i] = (o[i] + (p[i] >> 1)) & 0xFF
         for i in range(bpp, n):
-            out[i] = (out[i] + out[i - bpp]) & 0xFF
-    elif ftype == 2:  # Up
-        out = (out + prev) & 0xFF
-    elif ftype == 3:  # Average: + floor((a + b) / 2)
-        for i in range(n):
-            a = out[i - bpp] if i >= bpp else 0
-            out[i] = (out[i] + ((a + int(prev[i])) >> 1)) & 0xFF
-    elif ftype == 4:  # Paeth predictor
-        for i in range(n):
-            a = int(out[i - bpp]) if i >= bpp else 0
-            b = int(prev[i])
-            c = int(prev[i - bpp]) if i >= bpp else 0
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            o[i] = (o[i] + ((o[i - bpp] + p[i]) >> 1)) & 0xFF
+        return np.array(o, dtype=np.uint8)
+    if ftype == 4:  # Paeth predictor
+        o = cur.tolist()
+        p = prev.tolist()
+        for i in range(bpp):
+            # a = c = 0 → predictor is b (Paeth(0, b, 0) always picks b)
+            o[i] = (o[i] + p[i]) & 0xFF
+        for i in range(bpp, n):
+            a = o[i - bpp]
+            b = p[i]
+            c = p[i - bpp]
+            pa = b - c if b >= c else c - b
+            pb = a - c if a >= c else c - a
+            s = a + b - c
+            pc = s - c if s >= c else c - s
             if pa <= pb and pa <= pc:
                 pr = a
             elif pb <= pc:
                 pr = b
             else:
                 pr = c
-            out[i] = (out[i] + pr) & 0xFF
-    else:
-        raise ValueError(f"bad PNG filter type {ftype}")
-    return out.astype(np.uint8)
+            o[i] = (o[i] + pr) & 0xFF
+        return np.array(o, dtype=np.uint8)
+    raise ValueError(f"bad PNG filter type {ftype}")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

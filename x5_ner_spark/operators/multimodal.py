@@ -7,10 +7,14 @@ unfiltering), GIF (variable-width LZW incl. interlacing), JPEG baseline AND
 progressive (full T.81 in core/jpeg.py: file-declared DQT/DHT, 4:2:0,
 restart markers, spectral selection + successive approximation), and PCM
 WAV audio — stdlib+numpy only (core/media.py), producing content features
-(8×8 grayscale thumbnail; duration/RMS/ZCR/FFT-band energies). The ONLY
-remaining NotImplementedError is inter-coded video frame decode (the single
-raise in _real_decode below): a true external-library boundary
-(libavcodec-class), kept as the documented plug-a-codec contract.
+(8×8 grayscale thumbnail; duration/RMS/ZCR/FFT-band energies). Round 5
+added Motion-JPEG video: the real ISO-BMFF sample table maps frames to
+byte ranges that core/jpeg.py decodes natively (whole-file path below;
+sampled-frame path in extract_frame_features). The remaining
+NotImplementedError boundaries are exactly two: INTER-CODED video codecs
+(core/media.decode_video_frame — avc1/hev1/..., a true external-library
+boundary, the documented plug-a-codec contract) and unrecognized magic
+bytes (the final raise in _real_decode below).
 ``decode=fake`` remains the
 deterministic hash stub for tests that don't care about content. The
 Spark-side plumbing — schema, batch iteration, partition sizing — is what
