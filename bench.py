@@ -87,14 +87,17 @@ def run_headline(master: str, include_pipeline: bool = True) -> dict:
     # not cold-fork imports: one JVM-only query plus one small Arrow stage
     # (the python-worker pool for pandas-UDF stages)
     _noop_write(qs["filter_project"](spark, SF_DIR))
-    # …and warm EVERY sf-dir parquet table (footer/metadata reads + FS
-    # cache): the first headline query to touch a cold table otherwise pays
-    # ~2.5s of first-read cost that has nothing to do with its plan — the
-    # entire "kg_mentions_by_pred regression" in BENCH_r04 (VERDICT r4 #2).
+    # …and warm EVERY sf-dir parquet table: the first headline query to
+    # touch a cold table otherwise pays ~2.5s of first-read cost that has
+    # nothing to do with its plan — the entire "kg_mentions_by_pred
+    # regression" in BENCH_r04 (VERDICT r4 #2). A noop WRITE of all columns
+    # (not count(): that is metadata-only on parquet and never touches the
+    # data pages) pulls footers, dictionaries, and data into the FS cache
+    # — ≤17 MB total at sf0.1, one-time.
     import glob as _glob
 
     for _t in sorted(_glob.glob(os.path.join(SF_DIR, "*.parquet"))):
-        spark.read.parquet(_t).count()
+        _noop_write(spark.read.parquet(_t))
     if include_pipeline:
         from x5_ner_spark.pipeline import fused as _fused
         from x5_ner_spark.pipeline.fixtures import pages_df as _pages_df
