@@ -12,6 +12,8 @@ back, including the ≤2-samples-per-chunk stsc expansion)."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -142,3 +144,54 @@ def test_extract_frame_features_e2e(spark):
     # strict mode fails fast on the inter-coded row
     with pytest.raises(Exception):
         extract_frame_features(df, every_s=1.0, on_error="raise").collect()
+
+
+def test_mp4_parsers_terminate_on_adversarial_bytes():
+    """The box-tree walkers face UNTRUSTED corpus bytes at scale: random,
+    truncated, size-lying, and deeply-nested inputs must terminate quickly
+    with a normal return or a typed exception — never hang (size-0 /
+    backwards-size loops) or escape as something untriageable."""
+    import random
+
+    rng = random.Random(99)
+    base = M.encode_mjpeg(_frames(2))
+
+    cases = []
+    # random garbage with a plausible start
+    for i in range(200):
+        n = rng.randint(0, 120)
+        cases.append(b"\x00\x00\x00\x18ftypisom" + bytes(rng.randrange(256) for _ in range(n)))
+    # truncations of a real container at every 37th byte
+    cases.extend(base[:k] for k in range(0, len(base), 37))
+    # bit flips in a real container
+    for i in range(300):
+        b = bytearray(base)
+        pos = rng.randrange(len(b))
+        b[pos] ^= 1 << rng.randrange(8)
+        cases.append(bytes(b))
+    # size-field lies: zero and huge sizes in the first box header
+    for size in (0, 1, 7, 8, 2**31, 2**32 - 1):
+        b = bytearray(base)
+        b[0:4] = size.to_bytes(4, "big")
+        cases.append(bytes(b))
+    # deep nesting: 2000 nested moov headers (recursion bound check)
+    nest = b""
+    for _ in range(2000):
+        nest = (len(nest) + 8).to_bytes(4, "big") + b"moov" + nest
+    cases.append(nest)
+
+    for payload in cases:
+        try:
+            M.parse_mp4_meta(payload)
+        except Exception as e:  # noqa: BLE001 — typed failure is acceptable
+            assert isinstance(e, (ValueError, struct.error, RecursionError)), (
+                type(e), payload[:24])
+        try:
+            M.mp4_sample_table(payload)
+        except Exception as e:  # noqa: BLE001
+            assert isinstance(e, (ValueError, struct.error, RecursionError)), (
+                type(e), payload[:24])
+        try:
+            M.decode_video_frame(payload, 0)
+        except Exception:  # noqa: BLE001 — any exception; must terminate
+            pass
