@@ -148,3 +148,75 @@ def test_split_all_equals_three_pass_composition():
             text, _split_spaced(text, _split_spaced(text, spans, "PERCENT"), "VOLUME")
         )
         assert _split_all(text, spans) == want, (text, spans)
+
+
+def test_implicit_pass_bisect_equals_naive_on_number_dense_text():
+    """Round-5 scale fix: neighbors()/overlaps_explicit are bisect-bounded
+    (number-dense docs — price lists — made the naive scans quadratic).
+    The candidate sets are provably identical; pin with a brute-force
+    reimplementation over adversarial number-dense fuzz."""
+    import random
+
+    from x5_ner_spark.core.numeric import (
+        FATTY_WORDS, PACK_WORDS, RE_NUMBER, RE_PERCENT_SIGN, SIZE_WORDS,
+        _has_digit, _shared_regex_spans, implicit_numeric_spans,
+        tokenize_with_offsets,
+    )
+    from x5_ner_spark.core.textnorm import normalize_token, token_close_to_lexicon
+
+    def brute(text):
+        if not _has_digit(text):
+            return []
+        matches = [m.span() for m in RE_NUMBER.finditer(text)]
+        if not matches:
+            return []
+        toks = [(normalize_token(t), s, e) for t, s, e in tokenize_with_offsets(text)]
+        shared = _shared_regex_spans(text)
+        explicit = [sp for key in ("pct_sign", "pct_word", "multipack", "volume")
+                    for sp in shared[key]]
+        out = []
+        for s, e in matches:
+            if any(es < e and ee > s for es, ee in explicit):
+                continue
+            raw = text[s:e]
+            if RE_PERCENT_SIGN.search(raw):
+                continue
+            try:
+                val = float(raw.replace(",", "."))
+            except ValueError:
+                continue
+            pos = (s + e) // 2
+            lo, hi = pos - 20, pos + 20
+            neigh = [t for t, ss, ee in toks if ss < hi and ee > lo and t]
+            if any(w in SIZE_WORDS for w in neigh):
+                continue
+            near_fatty = any(token_close_to_lexicon(w, FATTY_WORDS) for w in neigh)
+            near_pack = any(token_close_to_lexicon(w, PACK_WORDS) for w in neigh)
+            tag = None
+            if val == 0:
+                tag = "B-PERCENT"
+            elif 1 <= val <= 99 and near_fatty:
+                tag = "B-PERCENT"
+            elif val >= 100 or (near_pack and val >= 2):
+                tag = "B-VOLUME"
+            if tag:
+                out.append((s, e, tag))
+        return out
+
+    rng = random.Random(21)
+    words = ["молоко", "сыр", "пакет", "скидка", "банка", "размер", "творог",
+             "цена", "упаковка", "шт"]
+    for _ in range(500):
+        parts = []
+        for _ in range(rng.randint(1, 40)):
+            r = rng.random()
+            if r < 0.5:
+                parts.append(str(rng.randint(0, 500)) + rng.choice(["", ",5", ".25"]))
+            elif r < 0.6:
+                parts.append(str(rng.randint(0, 99)) + "%")
+            elif r < 0.7:
+                parts.append(str(rng.randint(1, 9)) + rng.choice([" мл", " л", " шт", " г"]))
+            else:
+                parts.append(rng.choice(words))
+        t = " ".join(parts)
+        assert implicit_numeric_spans(t) == brute(t), t

@@ -13,6 +13,8 @@ Unicode-category word pattern; everything else is plain ``re``-compatible.
 
 from __future__ import annotations
 
+from bisect import bisect_left, bisect_right
+
 import regex as _rx
 
 from .textnorm import normalize_token, token_close_to_lexicon
@@ -253,23 +255,42 @@ def implicit_numeric_spans(
     explicit: list[tuple[int, int]] = [
         sp for key in ("pct_sign", "pct_word", "multipack", "volume") for sp in shared[key]
     ]
+    # a number-dense document (price list) has O(n) matches against O(n)
+    # explicit spans / tokens — the naive any()/scan per match is quadratic
+    # at web scale. Explicit spans sorted by start + the longest-span bound
+    # turn the overlap test into a bisect-bounded scan (same trick as
+    # merge_model_and_numeric); the candidate set and verdicts are
+    # identical, order of inspection is irrelevant to any().
+    explicit.sort()
+    _ex_starts = [es for es, _ in explicit]
+    _ex_maxlen = max((ee - es for es, ee in explicit), default=0)
 
     def overlaps_explicit(s: int, e: int) -> bool:
-        return any(es < e and ee > s for es, ee in explicit)
+        lo = bisect_right(_ex_starts, s - _ex_maxlen)
+        hi = bisect_left(_ex_starts, e, lo)
+        return any(es < e and ee > s for es, ee in explicit[lo:hi])
 
     # normalized tokens are only consulted by neighbors(); most matches die
     # on the explicit-overlap guard first (a number inside "50мл" IS the
     # explicit volume span), so normalize lazily on first surviving match
     # (round-5 kernel pass — skips a full normalize_token sweep per doc)
     toks: list[tuple[str, int, int]] | None = None
+    tok_starts: list[int] = []
+    tok_ends: list[int] = []
 
     def neighbors(pos: int, window: int = 20) -> list[str]:
         nonlocal toks
         if toks is None:
             raw_toks = tokens if tokens is not None else tokenize_with_offsets(text)
             toks = [(normalize_token(t), s, e) for t, s, e in raw_toks]
+            tok_starts.extend(s for _, s, _ in toks)
+            tok_ends.extend(e for _, _, e in toks)
         lo, hi = pos - window, pos + window
-        return [t for t, s, e in toks if s < hi and e > lo and t]
+        # word tokens are non-overlapping and sorted, so "s < hi and e > lo"
+        # is a contiguous index range — two bisects replace the full scan
+        i0 = bisect_right(tok_ends, lo)
+        i1 = bisect_left(tok_starts, hi, i0)
+        return [t for t, _, _ in toks[i0:i1] if t]
 
     out: list[Span] = []
     for s, e in matches:
