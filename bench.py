@@ -52,6 +52,18 @@ def _noop_write(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _fixture_version() -> str:
+    """Cache-buster for materialized fixtures: a hash of the generator
+    module's source, so any change to pages_df/page_row invalidates stale
+    materializations instead of silently benchmarking old input (ADVICE r5)."""
+    import hashlib
+
+    import x5_ner_spark.pipeline.fixtures as _fx
+
+    with open(_fx.__file__, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:8]
+
+
 def _pages_from_parquet(spark, n_pages: int, sentences: int, partitions: int):
     """Materialize the synthetic page fixture to parquet and read it back —
     the bench input is STREAMED from storage per-partition like production,
@@ -63,7 +75,8 @@ def _pages_from_parquet(spark, n_pages: int, sentences: int, partitions: int):
     from x5_ner_spark.pipeline.fixtures import pages_df
 
     path = os.path.join(
-        tempfile.gettempdir(), f"x5bench_pages_{n_pages}_{sentences}_{partitions}"
+        tempfile.gettempdir(),
+        f"x5bench_pages_{_fixture_version()}_{n_pages}_{sentences}_{partitions}",
     )
     # the fixture is deterministic in (n_pages, sentences, partitions) — a
     # completed prior materialization is byte-identical, so reuse it (large
@@ -73,6 +86,40 @@ def _pages_from_parquet(spark, n_pages: int, sentences: int, partitions: int):
             "overwrite"
         ).parquet(path)
     return spark.read.parquet(path)
+
+
+def _subword_ckpt() -> str:
+    """Realistic inference-provider checkpoint for the bench (VERDICT r5 #1):
+    a WordPiece vocab derived from the fixture lexicon, split into ≤4-char
+    pieces plus full char coverage, so fused_triples(emission_npz=...)
+    exercises the production model shape — greedy longest-match offsets,
+    multi-piece words, max_len-160 truncation, mean-of-piece softmax — the
+    path a real transformer export plugs into (ref infer.py:141-221)."""
+    import tempfile
+
+    from x5_ner_spark.core.subword import write_subword_checkpoint
+    from x5_ner_spark.pipeline import fixtures as FX
+
+    words: set[str] = set()
+    for src in (FX.PRODUCTS, FX.BRANDS, FX.ADJECTIVES, FX.SUFFIXES):
+        for phrase in src:
+            words.update(w for w in phrase.lower().split() if w.isalpha())
+    vocab: list[str] = []
+    chars: set[str] = set()
+    for w in sorted(words):
+        for k in range(0, len(w), 4):
+            piece = w[k : k + 4]
+            vocab.append(piece if k == 0 else "##" + piece)
+        chars.update(w)
+    vocab += sorted(chars) + ["##" + c for c in sorted(chars)]
+    seen: set[str] = set()
+    vocab = [p for p in vocab if not (p in seen or seen.add(p))]
+    path = os.path.join(
+        tempfile.gettempdir(), f"x5bench_subword_{_fixture_version()}.npz"
+    )
+    if not os.path.exists(path):
+        write_subword_checkpoint(path, vocab, max_len=160)
+    return path
 
 
 def run_headline(master: str, include_pipeline: bool = True) -> dict:
@@ -152,6 +199,18 @@ def run_headline(master: str, include_pipeline: bool = True) -> dict:
         times["kg_linear"] = round(dt, 3)
         total += dt
         extras["linear_docs_per_sec"] = round(PIPELINE_PAGES / dt, 1)
+
+        # SAME input through the realistic npz/subword inference provider
+        # (VERDICT r5 #1): the stub model was the only thing ever timed —
+        # this is the number that predicts the 100× inference budget when
+        # real transformer weights plug into the same checkpoint shape.
+        ckpt = _subword_ckpt()
+        t0 = time.time()
+        _noop_write(fused.fused_triples(pages, emission_npz=ckpt))
+        dt = time.time() - t0
+        times["kg_linear_npz"] = round(dt, 3)
+        total += dt
+        extras["linear_npz_docs_per_sec"] = round(PIPELINE_PAGES / dt, 1)
     spark.stop()
     return {"total_sec": round(total, 3), "queries": times, **extras}
 
@@ -185,11 +244,16 @@ def scaling_child(cores: int) -> None:
     pages = _pages_from_parquet(
         spark, SCALING_PAGES, SCALING_SENTENCES, partitions=2 * cores
     )
+    # SPARK_GRAFT_SCALING_NPZ=1: drive the realistic subword-checkpoint
+    # provider instead of the stub — the inference-stage scaling pair
+    # (VERDICT r5 #1); checkpoint written before the clock starts
+    npz = _subword_ckpt() if os.environ.get("SPARK_GRAFT_SCALING_NPZ") else None
     t0 = time.time()
-    _noop_write(fused.fused_triples(pages))
+    _noop_write(fused.fused_triples(pages, emission_npz=npz))
     dt = time.time() - t0
     print(json.dumps({"cores": cores, "wall_sec": round(dt, 3),
-                      "docs_per_sec": round(SCALING_PAGES / dt, 1)}))
+                      "docs_per_sec": round(SCALING_PAGES / dt, 1),
+                      "variant": "npz" if npz else "stub"}))
     spark.stop()
 
 
@@ -219,6 +283,7 @@ def run_scaling() -> dict:
     return {
         "n_pages": SCALING_PAGES,
         "sentences_per_page": SCALING_SENTENCES,
+        "variant": "npz" if os.environ.get("SPARK_GRAFT_SCALING_NPZ") else "stub",
         "cores_n": lo,
         "cores_4n": hi,
         f"local{lo}_docs_per_sec": results[lo]["docs_per_sec"],
@@ -267,6 +332,17 @@ def main() -> None:
     queries = {
         name: min(r["queries"][name] for r in runs) for name in runs[0]["queries"]
     }
+    # cold/warm split (VERDICT r5 #5): the first run of a fresh JVM pays
+    # ~1.3s/query of whole-stage-codegen compile that later runs don't
+    # (codegen caches per-JVM by exact source; the repeats here share one
+    # JVM). Reporting both makes driver-visible first-run variance
+    # attributable at a glance instead of reading as a plan regression.
+    queries_cold = dict(runs[0]["queries"])
+    queries_warm = (
+        {name: min(r["queries"][name] for r in runs[1:]) for name in queries}
+        if len(runs) > 1
+        else None
+    )
     # headline "value" is the best SINGLE-RUN total (a total some run actually
     # achieved — ADVICE r3 #5); the per-query minima across runs remain as a
     # separate, explicitly-labeled composite for per-query comparisons.
@@ -276,6 +352,8 @@ def main() -> None:
         "unit": "sec",
         "per_query_best_composite_sec": round(sum(queries.values()), 3),
         "queries": queries,
+        "queries_cold": queries_cold,
+        "queries_warm": queries_warm,
         "sf": _sf_label(SF_DIR),
         "repeats": repeats,
         "run_totals_sec": [r["total_sec"] for r in runs],

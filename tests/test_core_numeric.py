@@ -100,7 +100,7 @@ def test_shared_regex_gates_are_exact_supersets():
 
     def ungated(text):
         if not N._has_digit(text):
-            return dict(N._NO_SHARED)
+            return {k: [] for k in N._SHARED_KEYS}
         return {
             "pct_sign": [m.span() for m in N.RE_PERCENT_SIGN.finditer(text)],
             "pct_word": [m.span() for m in N.RE_PERCENT_WORD.finditer(text)],

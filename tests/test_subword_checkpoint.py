@@ -149,6 +149,20 @@ def test_fused_stage_under_subword_checkpoint(spark, ckpt):
     assert 1 <= load_count(ckpt) <= 2 * n_workers + 2
 
 
+def test_legacy_object_vocab_checkpoint_error_names_the_fix(tmp_path):
+    """ADVICE r5: a pre-hardening checkpoint (dtype=object vocab) must fail
+    with a message that names the migration (regenerate via
+    write_subword_checkpoint), not numpy's opaque object-array refusal."""
+    p = str(tmp_path / "legacy.npz")
+    good = write_subword_checkpoint(str(tmp_path / "tmp.npz"), VOCAB)
+    with np.load(good) as z:
+        arrays = {k: z[k] for k in z.files}
+    arrays["vocab"] = np.array(list(arrays["vocab"]), dtype=object)
+    np.savez(p, **arrays)
+    with pytest.raises(ValueError, match="write_subword_checkpoint"):
+        SubwordEmissionProvider(p)
+
+
 def test_tokenizer_properties_random_words():
     """Property sweep: pieces tile the word contiguously; concatenating
     piece surfaces (continuations stripped of '##') reconstructs the word

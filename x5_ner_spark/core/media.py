@@ -604,6 +604,17 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
             elif box == b"stsz":
                 fixed, n = struct.unpack_from(">II", payload, body + 4)
                 if fixed:
+                    # Untrusted-header allocation clamp: a fixed-size stsz
+                    # states n WITHOUT a backing table, so (unlike the
+                    # frombuffer paths, which np bounds against the buffer)
+                    # nothing ties n to the payload. n real samples need at
+                    # least n mdat bytes — a few-hundred-byte crafted file
+                    # must not demand a multi-GB np.full.
+                    if n > len(payload):
+                        raise ValueError(
+                            f"stsz declares {n} samples but payload is only "
+                            f"{len(payload)} bytes"
+                        )
                     cur["sizes"] = np.full(n, fixed, dtype=np.int64)
                 else:
                     cur["sizes"] = np.frombuffer(
@@ -652,7 +663,20 @@ def _expand_sample_table(cur: dict) -> dict:
     timescale = int(cur.get("timescale", 1) or 1)
     stts = cur.get("stts")
     if stts is not None and len(stts):
-        deltas = np.repeat(stts[:, 1], stts[:, 0])[:n_samples]
+        # Clamp the expansion BEFORE np.repeat: stts run counts are
+        # attacker-controlled u32s, and repeating first then slicing
+        # ([:n_samples]) would allocate sum(counts) elements — a 16-byte
+        # stts run can demand 32 GB. Truncate the run list so the repeat
+        # allocates at most n_samples.
+        counts = stts[:, 0]
+        cum = np.cumsum(counts)
+        k = int(np.searchsorted(cum, n_samples))
+        if k < len(counts):
+            counts = counts[: k + 1].copy()
+            counts[k] = n_samples - (int(cum[k - 1]) if k else 0)
+            deltas = np.repeat(stts[: k + 1, 1], counts)
+        else:
+            deltas = np.repeat(stts[:, 1], counts)
         starts = np.concatenate([[0], np.cumsum(deltas)[:-1]])
     else:
         starts = np.zeros(n_samples, dtype=np.int64)
@@ -669,31 +693,78 @@ def _expand_sample_table(cur: dict) -> dict:
 _MJPEG_CODECS = ("jpeg", "mjpa", "mjpb", "mjpg", "MJPG", "AVDJ")
 
 
+def _decode_jpeg_sample(sample: bytes) -> np.ndarray:
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(sample)
+
+
+# fourcc → (complete sample bytes → HxWx3 uint8 frame). Motion-JPEG decodes
+# natively (each sample is an independent JPEG stream, core/jpeg.py);
+# inter-coded codecs (avc1/hev1/vp09/av01...) need libavcodec-class
+# machinery — production plugs one in with register_video_codec, no module
+# fork. Spark operators snapshot this table at plan-build time and merge it
+# worker-side, so driver registrations reach executors (multimodal.py).
+_VIDEO_CODECS: dict[str, "object"] = {c: _decode_jpeg_sample for c in _MJPEG_CODECS}
+
+
+def register_video_codec(codec: str, fn) -> None:
+    """Register a per-sample frame decoder for an ISO-BMFF video fourcc.
+    ``fn(sample_bytes) -> HxWx3 uint8 ndarray`` receives one complete
+    sample's byte range sliced from mdat. For inter-coded codecs a real
+    implementation needs access-unit state; wrap it so each call decodes
+    independently (e.g. keyframe-only sampling) or cache per-payload."""
+    if not codec or len(codec) != 4:
+        raise ValueError(f"codec fourcc must be 4 chars, got {codec!r}")
+    _VIDEO_CODECS[codec] = fn
+
+
+def video_codec_registry() -> dict:
+    """Snapshot of the registered codec table — captured by Spark operators
+    at plan-build time so driver-side registrations ship to executors."""
+    return dict(_VIDEO_CODECS)
+
+
+def merge_video_codecs(snapshot: dict) -> None:
+    """Worker-side: install a driver snapshot (idempotent; later wins)."""
+    _VIDEO_CODECS.update(snapshot)
+
+
+def decode_video_frame_from_table(
+    payload: bytes, track: dict, frame_idx: int, codecs: dict | None = None
+) -> np.ndarray:
+    """Decode one frame given an ALREADY-PARSED sample-table track (from
+    mp4_sample_table) — callers looping over sampled frames parse the
+    container once and slice per frame, instead of re-walking the box tree
+    per frame (an hour of 1 fps sampling = 3,600 redundant walks)."""
+    table = codecs if codecs is not None else _VIDEO_CODECS
+    fn = table.get(track["codec"])
+    if fn is None:
+        raise NotImplementedError(
+            f"frame decode for codec {track['codec']!r} requires an external "
+            "codec (libavcodec-class); register one via "
+            "media.register_video_codec. MJPEG tracks "
+            f"({'/'.join(_MJPEG_CODECS[:4])}) decode natively via core/jpeg."
+        )
+    if not 0 <= frame_idx < len(track["sizes"]):
+        raise ValueError(f"frame {frame_idx} out of range ({len(track['sizes'])})")
+    lo = int(track["offsets"][frame_idx])
+    hi = lo + int(track["sizes"][frame_idx])
+    return fn(payload[lo:hi])
+
+
 def decode_video_frame(payload: bytes, frame_idx: int) -> np.ndarray:
     """Decode one frame of an ISO-BMFF video by container geometry: the
-    sample table gives the frame's (offset, size) byte range in mdat; for
-    Motion-JPEG tracks each sample is a complete JPEG stream that
-    core/jpeg.py decodes natively — no external codec. Inter-coded codecs
-    (avc1/hev1/vp09/av01...) raise NotImplementedError: THE plug-a-codec
-    boundary (frames reference other frames; that needs libavcodec-class
-    machinery, not available here)."""
+    sample table gives the frame's (offset, size) byte range in mdat; the
+    registered codec for the track's fourcc decodes the sample (Motion-JPEG
+    natively via core/jpeg.py). Unregistered codecs raise
+    NotImplementedError: THE plug-a-codec boundary. Single-frame
+    convenience — per-frame loops should parse once and use
+    decode_video_frame_from_table."""
     video = [t for t in mp4_sample_table(payload) if t["handler"] == "vide"]
     if not video:
         raise ValueError("no video track with a sample table")
-    t = video[0]
-    if t["codec"] not in _MJPEG_CODECS:
-        raise NotImplementedError(
-            f"frame decode for codec {t['codec']!r} requires an external "
-            "codec (libavcodec-class); plug it in here. MJPEG tracks "
-            f"({'/'.join(_MJPEG_CODECS[:4])}) decode natively via core/jpeg."
-        )
-    if not 0 <= frame_idx < len(t["sizes"]):
-        raise ValueError(f"frame {frame_idx} out of range ({len(t['sizes'])})")
-    lo = int(t["offsets"][frame_idx])
-    hi = lo + int(t["sizes"][frame_idx])
-    from .jpeg import decode_jpeg
-
-    return decode_jpeg(payload[lo:hi])
+    return decode_video_frame_from_table(payload, video[0], frame_idx)
 
 
 def encode_mjpeg(frames: list[np.ndarray], fps: int = 4) -> bytes:

@@ -142,9 +142,7 @@ def _has_wordnum_trigger(low: str) -> bool:
     return _WORDNUM_TRIGGER_RE.search(low) is not None
 
 
-_NO_SHARED: dict[str, list[tuple[int, int]]] = {
-    "pct_sign": [], "pct_word": [], "multipack": [], "volume": [],
-}
+_SHARED_KEYS = ("pct_sign", "pct_word", "multipack", "volume")
 
 
 def _shared_regex_spans(
@@ -158,7 +156,9 @@ def _shared_regex_spans(
     x/X/×/* for multipack. A gate firing spuriously only costs the regex
     scan it replaced; a gate can never suppress a real match."""
     if not _has_digit(text):
-        return dict(_NO_SHARED)
+        # fresh lists per call — a shared-sentinel shallow copy would let
+        # any caller mutation corrupt every later no-digit result
+        return {k: [] for k in _SHARED_KEYS}
     if low is None:
         low = text.lower()
     return {

@@ -158,14 +158,27 @@ class SubwordEmissionProvider:
     seq_level = True
 
     def __init__(self, path: str):
-        with np.load(path, allow_pickle=False) as z:
-            vocab = [str(p) for p in z["vocab"]]
-            self.emb = z["emb"].astype("float64")
-            self.w1 = z["w1"].astype("float64")
-            self.b1 = z["b1"].astype("float64")
-            self.w2 = z["w2"].astype("float64")
-            self.b2 = z["b2"].astype("float64")
-            self.max_len = int(z["max_len"])
+        try:
+            # npz member reads are lazy — the object-array rejection fires
+            # at z["vocab"], so the whole read sits inside the try
+            with np.load(path, allow_pickle=False) as z:
+                vocab = [str(p) for p in z["vocab"]]
+                self.emb = z["emb"].astype("float64")
+                self.w1 = z["w1"].astype("float64")
+                self.b1 = z["b1"].astype("float64")
+                self.w2 = z["w2"].astype("float64")
+                self.b2 = z["b2"].astype("float64")
+                self.max_len = int(z["max_len"])
+        except ValueError as e:
+            # pre-hardening checkpoints stored vocab as dtype=object, which
+            # allow_pickle=False rejects with an opaque "Object arrays
+            # cannot be loaded" — tell the operator the actual fix instead
+            raise ValueError(
+                f"cannot load subword checkpoint {path!r} with "
+                f"allow_pickle=False ({e}). Checkpoints written before the "
+                "fixed-width-unicode vocab format must be regenerated with "
+                "write_subword_checkpoint."
+            ) from e
         self.tokenizer = SubwordTokenizer(vocab)
         self.path = path
         # per-(piece_id, cont) softmax rows: pieces are Zipf like tokens

@@ -12,9 +12,10 @@ added Motion-JPEG video: the real ISO-BMFF sample table maps frames to
 byte ranges that core/jpeg.py decodes natively (whole-file path below;
 sampled-frame path in extract_frame_features). The remaining
 NotImplementedError boundaries are exactly two: INTER-CODED video codecs
-(core/media.decode_video_frame — avc1/hev1/..., a true external-library
-boundary, the documented plug-a-codec contract) and unrecognized magic
-bytes (the final raise in _real_decode below).
+(avc1/hev1/... — a true external-library boundary; production plugs a
+decoder via core/media.register_video_codec, which these operators
+snapshot at plan-build time so driver registrations reach executors) and
+unrecognized magic bytes (the final raise in _real_decode below).
 ``decode=fake`` remains the
 deterministic hash stub for tests that don't care about content. The
 Spark-side plumbing — schema, batch iteration, partition sizing — is what
@@ -48,7 +49,50 @@ def _fake_feature(payload: bytes | None, dim: int = 16) -> list[float]:
     return (rng.astype("float64") / 2**32).astype("float32").tolist()
 
 
-def _real_decode(payload: bytes, kind: str, mime: str = "") -> list[float]:
+def _media_codecs() -> dict:
+    """Driver-side snapshot of core.media's video-codec registry (built-ins
+    + register_video_codec entries), captured at plan-build time so the
+    closure carries registrations to executor workers."""
+    from ..core import media as M
+
+    return M.video_codec_registry()
+
+
+def _video_frame_rows(
+    payload: bytes, every_s: float, codecs: dict | None = None
+) -> list[tuple[int, float, list[float]]]:
+    """Pure per-video sampled-frame extraction: ONE sample-table parse,
+    then per-frame (offset, size) slices via decode_video_frame_from_table —
+    never re-walking the box tree per frame. Returns
+    [(frame_idx, frame_ts_s, feature)]; factored out of the Spark closure so
+    the parse-once property is directly testable."""
+    from ..core import media as M
+
+    video = [t for t in M.mp4_sample_table(payload) if t["handler"] == "vide"]
+    if not video:
+        raise ValueError("no video track with a sample table")
+    track = video[0]
+    times = track["times_s"]
+    dur = float(times[-1]) if len(times) else 0.0
+    n_ticks = max(int(dur / every_s) + 1, 1)
+    picked = sorted(
+        {int(np.abs(times - k * every_s).argmin()) for k in range(n_ticks)}
+    )
+    return [
+        (
+            idx,
+            float(times[idx]),
+            M.image_feature(
+                M.decode_video_frame_from_table(payload, track, idx, codecs)
+            ),
+        )
+        for idx in picked
+    ]
+
+
+def _real_decode(
+    payload: bytes, kind: str, mime: str = "", codecs: dict | None = None
+) -> list[float]:
     """Real decode + content feature for library-free formats; the payload's
     magic bytes decide (mime is advisory). Output length varies by modality
     — image 64, audio 11 — callers treat it as an opaque vector."""
@@ -80,9 +124,14 @@ def _real_decode(payload: bytes, kind: str, mime: str = "") -> list[float]:
     if payload[4:8] == b"ftyp":
         # ISO-BMFF video: container geometry (sample table) is parsed for
         # real; an MJPEG track's first frame decodes natively via
-        # core/jpeg.py. Inter-coded codecs raise NotImplementedError inside
-        # decode_video_frame — the one true plug-a-codec boundary.
-        return M.image_feature(M.decode_video_frame(payload, 0))
+        # core/jpeg.py. Codecs without a registry entry raise
+        # NotImplementedError — the plug boundary (register_video_codec).
+        video = [t for t in M.mp4_sample_table(payload) if t["handler"] == "vide"]
+        if not video:
+            raise ValueError("no video track with a sample table")
+        return M.image_feature(
+            M.decode_video_frame_from_table(payload, video[0], 0, codecs)
+        )
     raise NotImplementedError(
         f"decode for {mime or kind!r} requires an external codec, not "
         "available in this container; plug the codec in here "
@@ -108,6 +157,7 @@ def extract_features(
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     schema = FEATURE_SCHEMA if on_error == "raise" else FEATURE_SCHEMA + ", error string"
+    codecs = _media_codecs() if decode == "real" else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,7 +170,9 @@ def extract_features(
                 ):
                     try:
                         if decode == "real":
-                            feats.append(_real_decode(payload, kind, mime or ""))
+                            feats.append(
+                                _real_decode(payload, kind, mime or "", codecs)
+                            )
                         else:
                             feats.append(_fake_feature(payload))
                         errors.append(None)
@@ -172,37 +224,22 @@ def extract_frame_features(
         else FRAME_FEATURE_SCHEMA + ", error string"
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..core import media as M
+    # plan-build-time snapshot: driver-side register_video_codec() entries
+    # ride the closure (cloudpickle) to executors, where the module-level
+    # table only has the built-ins
+    codecs = _media_codecs()
 
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo : lo + batch_rows]
                 rows: list[tuple] = []
                 for media_id, payload in zip(chunk["media_id"], chunk["payload"]):
                     try:
-                        payload = bytes(payload)
-                        video = [
-                            t
-                            for t in M.mp4_sample_table(payload)
-                            if t["handler"] == "vide"
-                        ]
-                        if not video:
-                            raise ValueError("no video track with a sample table")
-                        times = video[0]["times_s"]
-                        dur = float(times[-1]) if len(times) else 0.0
-                        n_ticks = max(int(dur / every_s) + 1, 1)
-                        picked = sorted(
-                            {
-                                int(np.abs(times - k * every_s).argmin())
-                                for k in range(n_ticks)
-                            }
-                        )
-                        for idx in picked:
-                            feat = M.image_feature(M.decode_video_frame(payload, idx))
-                            rows.append(
-                                (media_id, idx, float(times[idx]), feat, None)
-                            )
+                        for idx, ts, feat in _video_frame_rows(
+                            bytes(payload), every_s, codecs
+                        ):
+                            rows.append((media_id, idx, ts, feat, None))
                     except Exception as e:  # noqa: BLE001 — row-level policy
                         if on_error == "raise":
                             raise
