@@ -192,3 +192,50 @@ def test_wratio_whitespace_free_unchanged():
             scale = 0.9 if len_ratio < 8 else 0.6
             old = max(r, fuzz_partial_ratio(a, b) * scale)
         assert fuzz_wratio(a, b) == old, (a, b)
+
+
+def test_wratio_vs_real_rapidfuzz_when_present():
+    """Ground-truth differential (VERDICT r5 #4): every scorer against the
+    REAL rapidfuzz library over random strings with and without whitespace.
+    Skips when rapidfuzz is absent or when sys.modules holds the conftest
+    shim (which is backed by these very functions — circular)."""
+    import random
+    import sys
+
+    rf = sys.modules.get("rapidfuzz")
+    if rf is None:
+        try:
+            import rapidfuzz as rf  # noqa: F811
+        except ImportError:
+            pytest.skip("real rapidfuzz not installed")
+    if getattr(rf, "__file__", None) is None:
+        pytest.skip("only the conftest shim is present, not real rapidfuzz")
+
+    from x5_ner_spark.core.textnorm import (
+        fuzz_partial_ratio,
+        fuzz_ratio,
+        fuzz_wratio,
+        token_set_ratio,
+        token_sort_ratio,
+    )
+
+    rng = random.Random(99)
+    alpha = "abcdабвг12 "  # includes space -> multi-token shapes
+
+    def s():
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(0, 18))).strip()
+
+    pairs = [(s(), s()) for _ in range(2000)]
+    pairs += [("santa", "zzsantazz"), ("молоко", "молок"), ("a b c", "c b a")]
+    for a, b in pairs:
+        for ours, theirs in (
+            (fuzz_ratio, rf.fuzz.ratio),
+            (fuzz_partial_ratio, rf.fuzz.partial_ratio),
+            (token_sort_ratio, rf.fuzz.token_sort_ratio),
+            (token_set_ratio, rf.fuzz.token_set_ratio),
+            (fuzz_wratio, rf.fuzz.WRatio),
+        ):
+            if not a and not b and theirs is rf.fuzz.partial_ratio:
+                continue  # rapidfuzz defines ('','') partial as 100; so do we
+            assert abs(ours(a, b) - theirs(a, b)) < 1e-9, (
+                ours.__name__, a, b, ours(a, b), theirs(a, b))

@@ -164,6 +164,82 @@ def test_log_reason_branches_crafted():
     assert reasons("из молоко", [vec(O=0.5), vec(B_TYPE=0.95)]) == []
 
 
+def test_wratio_brand_heavy_differential():
+    """VERDICT r5 #4 closure evidence: a brand-HEAVY fixture whose tokens sit
+    in the WRatio-only region (lexicon entries embedded in longer tokens,
+    prefix/suffix-extended brands — WRatio ≥ 90 via the substring/partial
+    path, Levenshtein distance far beyond the adaptive cutoff) matches a
+    rapidfuzz-EQUIPPED reference (the conftest shim makes infer.py take its
+    rf_process.extractOne branch) span-for-span and log-row-for-log-row.
+    The model on both sides emits a fixed mid-confidence vector (p_brand 0.3)
+    so the label DEPENDS on the fuzzy verdict, and a vacuity guard asserts
+    the fixture genuinely flips labels against the no-rapidfuzz degradation
+    (use_wratio=False)."""
+    import random
+
+    if not has_reference():
+        pytest.skip("reference repo not present")
+    from x5_ner_spark.core.cascade import decide_word_labels
+    from x5_ner_spark.core.numeric import tokenize_with_offsets as _tok
+    from x5_ner_spark.core.spans import BIO_TAGS
+
+    crafted = [0.0] * len(BIO_TAGS)
+    crafted[BIO_TAGS.index("B-BRAND")] = 0.3
+    crafted[BIO_TAGS.index("O")] = 0.2
+
+    class _CraftedModel:
+        text = None
+
+        def __call__(self, input_ids, attention_mask=None):
+            n = len(tokenize_with_offsets(self.text))
+            return _Out(np.array([[crafted] * n]) if n else np.zeros((1, 0, 9)))
+
+    inf = load_reference_module("ner.infer")
+    inf.BRAND_LEXICON = set(inf._lex_norm(x) for x in LEX)
+    inf.BRAND_LEXICON_LIST = list(inf.BRAND_LEXICON)
+    pipe = inf.NERPipeline.__new__(inf.NERPipeline)
+    pipe.tokenizer = _FakeTokenizer()
+    pipe.model = _CraftedModel()
+
+    lex_fs = frozenset(LEX)
+    lex_list = sorted(lex_fs)
+    rng = random.Random(4242)
+    pre = ["supr", "мега", "экстра", "xx", "нью"]
+    post = ["plus", "ультра", "shop", "24", "off"]
+    texts = []
+    for _ in range(120):
+        brand = rng.choice(LEX)
+        tok = rng.choice(
+            [
+                rng.choice(pre) + brand,
+                brand + rng.choice(post),
+                rng.choice(pre) + brand + rng.choice(post),
+            ]
+        )
+        filler = rng.choice(["молоко", "сок", "вода", "хлеб свежий"])
+        texts.append(rng.choice([f"{tok} {filler}", f"{filler} {tok}"]))
+
+    flipped = 0
+    for text in texts:
+        pipe.model.text = text
+        ref_spans, _, ref_details = pipe.predict_entities(text)
+
+        words = [(s, e) for _, s, e in _tok(text)]
+        probs = [list(crafted) for _ in words]
+        log: list = []
+        with_w = decide_word_labels(text, words, probs, lex_fs, lex_list, log=log)
+        assert with_w == [tuple(x) for x in ref_spans], repr(text)
+        assert [serialize_log_row(text, r, error=None) for r in log] \
+            == ref_details, repr(text)
+
+        without = decide_word_labels(
+            text, words, probs, lex_fs, lex_list, use_wratio=False
+        )
+        if with_w != without:
+            flipped += 1
+    assert flipped >= 60, f"fixture too weak: only {flipped} WRatio-only flips"
+
+
 def test_wratio_changes_fuzzy_hit_vs_levenshtein_only():
     """A lexicon entry embedded in a longer token: WRatio≥90 hits (substring,
     scale 0.9), Levenshtein distance is far above the cutoff."""

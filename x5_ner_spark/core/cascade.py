@@ -9,9 +9,13 @@ Two pinned spec decisions (SURVEY.md §7.4):
   the first short low-confidence word, leaving all later words 'O'. We
   reproduce it (``short_word_break=True``) because the P/R target is measured
   against the reference's emitted spans.
-- rapidfuzz is absent here; we use the reference's own documented degradation
-  (infer.py:18-21): Levenshtein-only lexicon fuzzy matching with the adaptive
-  distance of infer.py:293-296.
+- Brand fuzzy matching mirrors a rapidfuzz-ENABLED reference deployment by
+  default (``use_wratio=True``): WRatio ≥ 90 via the exact reimplementation in
+  core/textnorm.py (infer.py:282-291), then the Levenshtein fallback with the
+  adaptive distance of infer.py:293-296 either way. ``use_wratio=False``
+  reproduces the reference's documented no-rapidfuzz degradation
+  (infer.py:18-21). Both modes are differentialed against the reference
+  (tests/test_decision_log.py, incl. a brand-heavy WRatio-only fixture).
 """
 
 from __future__ import annotations
