@@ -110,6 +110,56 @@ def test_numeric_profile_approx_switch(spark):
         assert abs(a[g]["p90_price"] - e[g]["p90_price"]) <= 3.0
 
 
+def test_numeric_profile_approx_rank_error_bound(spark):
+    """VERDICT r5 #7: the 100× knob's ACCURACY contract, not just its plan
+    shape. On a heavy-tailed, tie-dense, group-size-skewed fixture, the
+    value approx_percentile returns for quantile q must sit within
+    rank-error ε = 1/accuracy of q — i.e. the closed interval of ranks the
+    returned value occupies in the exact sorted data must intersect
+    [q − ε, q + ε] (±1 order statistic for rounding). Checked at two
+    accuracies so the bound is exercised, not vacuous."""
+    import bisect
+    import random
+
+    from x5_ner_spark.operators.text_stats import numeric_profile
+
+    rng = random.Random(5)
+    rows = []
+    for g, n in (("small", 60), ("mid", 3000), ("big", 30000)):
+        for _ in range(n):
+            # heavy right tail + heavy ties at the low end (price-like)
+            v = round(1.0 / (rng.random() ** 2 + 1e-3), 1)
+            rows.append((g, float(v)))
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+
+    exact_vals: dict[str, list[float]] = {}
+    for g, v in rows:
+        exact_vals.setdefault(g, []).append(v)
+    for vs in exact_vals.values():
+        vs.sort()
+
+    for accuracy in (100, 2000):
+        got = {r["g"]: r for r in
+               numeric_profile(df, "g", "v", exact=False, accuracy=accuracy).collect()}
+        for g, vs in exact_vals.items():
+            n = len(vs)
+            assert got[g]["n_rows"] == n
+            # ±1.5 order statistics of slack on top of ε: quantile-rank
+            # convention (ceil vs floor+interpolate) and the 4-dp rounding
+            # are each worth up to one rank; negligible for the big groups
+            # where the sketch bound is the binding constraint
+            eps = 1.0 / accuracy + 1.5 / n
+            for q, col in ((0.5, "median_price"), (0.9, "p90_price")):
+                v = got[g][col]
+                # rank interval the returned (4-dp rounded) value covers
+                lo = bisect.bisect_left(vs, v - 1e-3)
+                hi = bisect.bisect_right(vs, v + 1e-3)
+                lo_q = (lo - 1) / n
+                hi_q = hi / n
+                assert lo_q <= q + eps and hi_q >= q - eps, (
+                    g, col, accuracy, v, lo, hi, n)
+
+
 # --------------------------------------------------- balance (fused stage)
 
 

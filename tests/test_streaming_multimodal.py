@@ -572,3 +572,72 @@ def test_media_soak_error_accounting(spark):
     # escaping a decoder's bounds math into something un-triageable
     etypes = {r["error"].split(":")[0] for r in bad}
     assert etypes, etypes
+
+
+def test_stream_frame_and_media_features_match_batch(spark, tmp_path):
+    """Stream ≡ batch over a MIXED-CODEC media fixture (VERDICT r5 #8):
+    an MJPEG video (real sampled-frame decodes), an avc1 video (error row
+    under on_error='null'), a still image and a WAV — frame features and
+    whole-file features both row-identical between the streaming and batch
+    plans over the same parquet."""
+    import numpy as np
+
+    from x5_ner_spark.core import media as M
+    from x5_ner_spark.streaming import stream_pipeline as sp
+
+    y, x = np.mgrid[0:48, 0:64]
+    frames = [
+        np.stack([(x * 3 + k * 17) % 256, (y * 5) % 256, ((x + y) * 2) % 256],
+                 axis=2).astype(np.uint8)
+        for k in range(9)
+    ]
+    good = M.encode_mjpeg(frames, fps=4)
+    bad = bytearray(M.encode_mjpeg(frames[:2]))
+    i = bad.find(b"jpeg", bad.find(b"stsd"))
+    bad[i : i + 4] = b"avc1"
+    arr = np.random.RandomState(3).randint(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    wav = _tiny_wav(np.sin(2 * np.pi * 300 * np.arange(4000) / 8000))
+    rows = [
+        (1, "video", bytearray(good), "video/mp4", 64, 48, 2.0),
+        (2, "video", bytes(bad), "video/mp4", 64, 48, 0.5),
+        (3, "image", M.encode_ppm(arr), "image/x-portable-pixmap", 9, 12, None),
+        (4, "audio", wav, "audio/wav", 0, 0, 0.5),
+    ]
+    from x5_ner_spark.operators import multimodal
+
+    mdir = str(tmp_path / "media")
+    spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).write.parquet(mdir)
+    batch_media = spark.read.parquet(mdir)
+
+    want_frames = sorted(
+        tuple(r) for r in multimodal.extract_frame_features(
+            batch_media, every_s=1.0, on_error="null").collect()
+    )
+    want_feats = sorted(
+        tuple(r) for r in multimodal.extract_features(
+            batch_media, decode="real", on_error="null").collect()
+    )
+
+    stream = sp.stream_media(spark, mdir, max_files_per_trigger=1)
+    qf = (
+        sp.stream_frame_features(stream, every_s=1.0)
+        .writeStream.format("memory").queryName("frames_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qf.awaitTermination(120)
+    got_frames = sorted(tuple(r) for r in spark.table("frames_stream").collect())
+    assert got_frames == want_frames
+    # the MJPEG video yielded real sampled frames (ticks 0s,1s,2s → 0,4,8)
+    assert [r[1] for r in got_frames if r[0] == 1] == [0, 4, 8]
+    # the avc1 video degraded to one error row naming the codec
+    (err_row,) = [r for r in got_frames if r[0] == 2]
+    assert err_row[1] == -1 and "avc1" in err_row[4]
+
+    qm = (
+        sp.stream_media_features(sp.stream_media(spark, mdir))
+        .writeStream.format("memory").queryName("media_feat_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qm.awaitTermination(120)
+    got_feats = sorted(tuple(r) for r in spark.table("media_feat_stream").collect())
+    assert got_feats == want_feats and len(got_feats) == 4

@@ -242,7 +242,11 @@ def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 10_000) -> Da
 
 
 def numeric_profile(
-    df: DataFrame, group_col: str, value_col: str, exact: bool = True
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Per-group min/max/median/p90/count profile.
 
@@ -252,14 +256,22 @@ def numeric_profile(
     oracle hashes its values. ``exact=False`` switches to
     ``approx_percentile`` (KLL/t-digest-style mergeable sketch, map-side
     combinable, bounded memory per group regardless of group size) — the
-    switch production flips at 10^12 rows, trading exactness inside the
-    sketch's rank-error bound."""
-    pct = "percentile" if exact else "approx_percentile"
+    switch production flips at 10^12 rows. ``accuracy`` is the sketch's
+    CONTRACT, not a hint: the returned value's rank is within
+    ``n / accuracy`` of the requested quantile's rank (Greenwald-Khanna
+    ε = 1/accuracy; tested on a skewed fixture in test_scale_knobs.py),
+    and memory grows ~O(accuracy · log n)."""
+    if exact:
+        med = f"percentile({value_col}, 0.5)"
+        p90 = f"percentile({value_col}, 0.9)"
+    else:
+        med = f"approx_percentile({value_col}, 0.5, {int(accuracy)})"
+        p90 = f"approx_percentile({value_col}, 0.9, {int(accuracy)})"
     return df.groupBy(group_col).agg(
         F.round(F.min(value_col), 4).alias("min_price"),
         F.round(F.max(value_col), 4).alias("max_price"),
-        F.round(F.expr(f"{pct}({value_col}, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr(f"{pct}({value_col}, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr(med), 4).alias("median_price"),
+        F.round(F.expr(p90), 4).alias("p90_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
