@@ -203,6 +203,31 @@ def test_registered_codec_flows_through_frame_features(spark):
         assert np.allclose(np.array(r["feature"]), np.array(expect), atol=1e-6)
 
 
+def test_registered_codec_flows_through_extract_features(spark):
+    """Registry surface #2: the whole-file path (extract_features decode=
+    'real') also snapshots the driver-side registry — an avc1 registration
+    decodes frame 0 end-to-end in the Spark workers, and after deregistration
+    the same payload degrades to an error row under on_error='null'."""
+    from x5_ner_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    frames = _frames(2)
+    payload = _avc1_fixture(2)
+    df = spark.createDataFrame(
+        [(1, "video", payload, "video/mp4", 64, 48, 0.5)], MEDIA_SCHEMA
+    )
+    M.register_video_codec("avc1", lambda sample: decode_jpeg(sample))
+    try:
+        row = extract_features(df, decode="real").collect()[0]
+    finally:
+        del M._VIDEO_CODECS["avc1"]
+    expect = M.image_feature(decode_jpeg(encode_jpeg(frames[0])))
+    assert np.allclose(np.array(row["feature"]), np.array(expect), atol=1e-6)
+    # registry snapshot happens at plan-build time: without the registration
+    # the same plan degrades per-row instead of failing the task
+    (err_row,) = extract_features(df, decode="real", on_error="null").collect()
+    assert err_row["feature"] is None and "avc1" in err_row["error"]
+
+
 def test_one_table_parse_per_video(monkeypatch):
     """The per-frame loop must NOT re-walk the box tree per sampled frame
     (ADVICE r5 / VERDICT r5 #3): a long video sampled densely parses the
