@@ -360,7 +360,11 @@ def main() -> None:
         "load_avg_start": load_start,
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }
-    for k in ("pipeline_docs_per_sec", "linear_docs_per_sec"):
+    for k in (
+        "pipeline_docs_per_sec",
+        "linear_docs_per_sec",
+        "linear_npz_docs_per_sec",
+    ):
         vals = [r[k] for r in runs if k in r]
         if vals:
             out[k] = max(vals)
