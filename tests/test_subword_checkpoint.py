@@ -91,6 +91,31 @@ def test_batch_equals_scalar(ckpt):
     assert batch == single  # tuples of python floats -> exact equality
 
 
+def test_word_mean_cache_is_byte_identical(ckpt):
+    """The per-piece-sequence mean cache (round 6) must be invisible: the
+    same provider with its cache cleared between calls — and one whose
+    cache is force-cleared MID-batch via a tiny threshold — returns exactly
+    the tuples a cold compute does."""
+    prov = SubwordEmissionProvider(ckpt)
+    texts = ["молоко кефир молоко", "санта вода кефир", "молоко"]
+    warm = prov.word_probs_for_texts(texts)  # populates the cache
+    cached = prov.word_probs_for_texts(texts)  # pure cache hits
+    prov._word_mean.clear()
+    cold = prov.word_probs_for_texts(texts)
+    assert warm == cached == cold
+    # exercise the clear-before-insert branch: every insert clears first
+    prov2 = SubwordEmissionProvider(ckpt)
+    real_len = dict.__len__
+
+    class AlwaysFull(dict):
+        def __len__(self):
+            return 1 << 20
+
+    prov2._word_mean = AlwaysFull()
+    assert prov2.word_probs_for_texts(texts) == cold
+    assert real_len(prov2._word_mean) == 1  # each insert wiped the rest
+
+
 def test_provider_dispatch(ckpt, tmp_path):
     from x5_ner_spark.core.emission import NpzMlpProvider, write_npz_checkpoint
 

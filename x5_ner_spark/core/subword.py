@@ -183,6 +183,13 @@ class SubwordEmissionProvider:
         self.path = path
         # per-(piece_id, cont) softmax rows: pieces are Zipf like tokens
         self._piece_probs: dict[tuple[int, bool], np.ndarray] = {}
+        # per-piece-SEQUENCE mean rows: words are Zipf too, and the mean of
+        # a fixed set of cached rows is deterministic, so caching the final
+        # per-word tuple is byte-identical to recomputing it (measured on
+        # the 12-sentence fixture corpus: 110,933 word instances collapse
+        # to 107 unique piece sequences — the stack+mean+tuple conversion
+        # was ~90% of provider CPU)
+        self._word_mean: dict[tuple, tuple[float, ...]] = {}
         try:  # auditable load event (same contract as NpzMlpProvider)
             with open(path + ".loads", "a") as f:
                 f.write(f"{os.getpid()}\n")
@@ -217,12 +224,24 @@ class SubwordEmissionProvider:
         word prob is the MEAN of its covered pieces' softmax rows
         (ref infer.py:217-221), span from the covered pieces' offsets."""
         out = []
+        mean_cache = self._word_mean
         for t in texts:
             spans: list[tuple[int, int]] = []
             probs: list[tuple[float, ...]] = []
             for ws, we, pieces in self.tokenizer.encode_text(t, self.max_len):
-                rows = np.stack([self.piece_probabilities(p, c) for p, c in pieces])
+                key = tuple(pieces)
+                got = mean_cache.get(key)
+                if got is None:
+                    rows = np.stack(
+                        [self.piece_probabilities(p, c) for p, c in pieces]
+                    )
+                    got = tuple(float(x) for x in rows.mean(axis=0))
+                    # clear-before-insert like the other caches: a mid-call
+                    # clear is safe here — every key is re-derived on miss
+                    if len(mean_cache) > (1 << 16):
+                        mean_cache.clear()
+                    mean_cache[key] = got
                 spans.append((ws, we))
-                probs.append(tuple(float(x) for x in rows.mean(axis=0)))
+                probs.append(got)
             out.append((spans, probs))
         return out
