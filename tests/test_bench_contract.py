@@ -1,0 +1,93 @@
+"""The driver records bench.py's ONE JSON line as BENCH_r{N}.json — its
+shape is a contract (VERDICT r5 #5 added the cold/warm split; r5 #1 the
+npz-provider throughput). These tests pin the reporting layer without
+spinning Spark: run_headline is stubbed with canned per-run results and
+main()'s printed JSON is parsed back.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def benchmod():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    try:
+        yield mod
+    finally:
+        sys.modules.pop("bench_under_test", None)
+
+
+def _canned_runs():
+    # run 0 = cold JVM (slower everywhere); runs 1-2 warm
+    mk = lambda a, b, c: {
+        "total_sec": round(a + b + c, 3),
+        "queries": {"q_fast": a, "q_slow": b, "kg_linear_npz": c},
+        "pipeline_docs_per_sec": 1000.0,
+        "linear_docs_per_sec": 2000.0,
+        "linear_npz_docs_per_sec": 1500.0,
+    }
+    return [mk(2.0, 5.0, 3.0), mk(1.0, 4.0, 2.0), mk(1.2, 3.5, 2.5)]
+
+
+def test_bench_json_contract(benchmod, monkeypatch, capsys):
+    runs = _canned_runs()
+    monkeypatch.setattr(benchmod, "run_headline", lambda *a, **k: runs.pop(0))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "3")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    benchmod.main()
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, "exactly ONE JSON line"
+    out = json.loads(lines[0])
+
+    # headline value = best SINGLE-run total (a total some run achieved)
+    assert out["metric"] == "headline_total_sec" and out["unit"] == "sec"
+    assert out["value"] == 7.0
+    # per-query minima across runs + their composite
+    assert out["queries"] == {"q_fast": 1.0, "q_slow": 3.5, "kg_linear_npz": 2.0}
+    assert out["per_query_best_composite_sec"] == 6.5
+    # cold/warm split (VERDICT r5 #5): cold = run 0 verbatim, warm = best of
+    # later repeats — cold must be visibly distinct from warm
+    assert out["queries_cold"] == {"q_fast": 2.0, "q_slow": 5.0, "kg_linear_npz": 3.0}
+    assert out["queries_warm"] == {"q_fast": 1.0, "q_slow": 3.5, "kg_linear_npz": 2.0}
+    # npz throughput propagates (VERDICT r5 #1)
+    assert out["linear_npz_docs_per_sec"] == 1500.0
+    # auditability stamps
+    assert out["repeats"] == 3 and len(out["run_totals_sec"]) == 3
+    assert "load_avg_start" in out and "load_avg_end" in out
+
+
+def test_bench_single_repeat_has_no_warm_column(benchmod, monkeypatch, capsys):
+    run = _canned_runs()[0]
+    monkeypatch.setattr(benchmod, "run_headline", lambda *a, **k: dict(run))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "1")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    benchmod.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][0]
+    out = json.loads(line)
+    assert out["queries_cold"] == out["queries"]
+    assert out["queries_warm"] is None  # no later repeats to call "warm"
+
+
+def test_headline_queries_exist_in_registry(benchmod):
+    """Every benched headline query must be a real registry entry — a rename
+    in __spark_entry__.queries() would otherwise only fail at driver time."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    missing = [n for n in benchmod.HEADLINE if n not in qs]
+    assert not missing, f"bench names not in queries(): {missing}"
