@@ -188,6 +188,60 @@ def test_legacy_object_vocab_checkpoint_error_names_the_fix(tmp_path):
         SubwordEmissionProvider(p)
 
 
+def test_tokenizer_hypothesis_random_vocab_and_words():
+    """Hypothesis sweep over random VOCABULARIES too (the fixed-vocab sweep
+    below can't catch vocab-dependent bugs): greedy longest-match is locally
+    optimal — at every piece boundary no LONGER vocab entry matches — and
+    encode_text never exceeds the piece budget, truncates word spans at the
+    last covered piece, and derives spans from the pieces it kept."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = "абвг"
+    word_st = st.text(alphabet=alphabet, min_size=1, max_size=8)
+
+    @given(
+        vocab=st.sets(
+            st.one_of(
+                word_st,
+                word_st.map(lambda w: "##" + w),
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        words=st.lists(word_st, min_size=1, max_size=10),
+        max_len=st.integers(3, 12),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(vocab, words, max_len):
+        vocab = sorted(vocab)
+        tok = SubwordTokenizer(vocab + [UNK, BOS, EOS])
+        full = vocab + [UNK, BOS, EOS]
+        for word in words:
+            pieces = tok.word_pieces(word)
+            if len(pieces) == 1 and full[pieces[0][0]] == UNK:
+                continue
+            for p, s, e, c in pieces:
+                key = full[p]
+                assert key == (("##" + word[s:e]) if s > 0 else word[s:e])
+                # greedy: no longer piece matches at this position
+                for longer in range(e - s + 1, len(word) - s + 1):
+                    cand = word[s : s + longer]
+                    assert (("##" + cand) if s > 0 else cand) not in tok.piece_id
+        text = " ".join(words)
+        enc = tok.encode_text(text, max_len=max_len)
+        total = sum(len(ps) for _, _, ps in enc)
+        assert total <= max_len - 2
+        for ws, we, ps in enc:
+            assert ps, "covered word must keep at least one piece"
+            word = text[ws:]
+            word = word[: word.find(" ")] if " " in word else word
+            want = tok.word_pieces(word)[: len(ps)]
+            assert [(p, c) for p, _, _, c in want] == ps
+            assert we == ws + want[-1][2]
+
+    check()
+
+
 def test_tokenizer_properties_random_words():
     """Property sweep: pieces tile the word contiguously; concatenating
     piece surfaces (continuations stripped of '##') reconstructs the word
