@@ -1219,10 +1219,14 @@ def oracle_sql() -> dict[str, str]:
         FROM withq w JOIN keep k USING (cluster_id)
     """
 
+    # one md5 per shingle + affine permutations mod prime — literal
+    # coefficients come from the SAME fixed LCG the Spark side inlines
+    # (operators/dedup.minhash_coeffs), so both engines agree bit-for-bit
+    from x5_ner_spark.operators.dedup import MH_PRIME, minhash_coeffs
+
     mh_cols = ", ".join(
-        "MIN(CAST(CAST('0x' || substr(md5(shingle || '#s%d'), 1, 8) AS UBIGINT) AS BIGINT)) AS mh%d"
-        % (i, i)
-        for i in range(8)
+        f"MIN((h * {a} + {b}) % {MH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(8))
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || '|' || CAST(mh{2*b+1} AS VARCHAR)) AS bucket FROM sig"
@@ -1236,7 +1240,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
           FROM toks, LATERAL unnest(range(len(toks) - 2)) AS r(i)
           WHERE len(toks) >= 3),
-        sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+        hs AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT) AS BIGINT) AS h
+          FROM sh),
+        sig AS (SELECT doc_id, {mh_cols} FROM hs GROUP BY doc_id),
         bands AS ({band_selects})
         SELECT band, bucket, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
         FROM bands GROUP BY band, bucket HAVING COUNT(*) > 1
@@ -1440,7 +1448,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
           FROM toks, LATERAL unnest(range(len(toks) - 2)) AS r(i)
           WHERE len(toks) >= 3),
-        sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+        hs AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT) AS BIGINT) AS h
+          FROM sh),
+        sig AS (SELECT doc_id, {mh_cols} FROM hs GROUP BY doc_id),
         bands AS ({band_selects}),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -29,7 +29,7 @@ AUDIT = [
     "gopher_filters", "canonical_urls", "tfidf_top_terms", "mix_sample",
     "scrub_pii", "decision_log", "asof_join", "sessionize", "ivf_topk",
     "doc_stats", "corpus_report", "inverted_index", "pack_documents",
-    "components", "pagerank",
+    "components", "pagerank", "simhash", "decontaminate",
 ]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 

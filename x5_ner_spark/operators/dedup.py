@@ -4,9 +4,26 @@ MinHash banding (LSH), SimHash, embedding-cosine near-dup.
 Scale design:
 - exact dedup: one groupBy on a fingerprint (map-side combine, no row text
   in the shuffle);
+- shingling is map-only: per-doc dedup is an ``array_distinct`` over a
+  native transform (the old explode→``.distinct()`` shape shuffled one row
+  per shingle of the corpus just to drop WITHIN-doc duplicates);
+- MinHash runs the salted md5s inside a codegen'd partial aggregate, so the
+  signature shuffle is ~one row per doc per input partition — the hashing
+  itself never enters an exchange. (A fully map-side HOF variant was
+  measured 2× slower: higher-order-function lambdas are interpreted
+  per-element, while aggregate expressions stay in whole-stage codegen.)
 - near-dup: shingle → band-bucket join, so candidate pairs are generated
   per-bucket instead of a quadratic self-join; buckets are hash-distributed
   (no skew: band key includes the band index);
+- self-joins sit on an explicit hash repartition (or a signature aggregate)
+  so both branches read ONE ReusedExchange instead of recomputing the
+  scan+shingling per side;
+- generator inputs are always INLINE complex expressions, never a bare
+  attribute from a projection below: ``InferFiltersFromGenerate`` infers
+  ``size(attr) > 0`` filters from attribute inputs, and predicate pushdown
+  then substitutes the whole shingling pipeline into the Filter — measured
+  ~3 evaluations per row (the expression is re-run for the size check, the
+  null check, and the projection; HOFs get no codegen CSE);
 - all hashing is md5-based ``portable_hash32`` (cross-engine deterministic).
 """
 
@@ -30,14 +47,57 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """k-token shingles (doc_id, shingle string). Native: slice the token
-    array with transform over an index sequence."""
+def _with_tokens(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, toks) for docs with ≥k tokens — the shared shingling base."""
     toks = simple_tokens_col("text")
-    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
+    return docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
+
+
+def _sh_expr(k: int):
+    """k-token shingle array over the ``toks`` column (with duplicates)."""
     idx = F.sequence(F.lit(0), F.size("toks") - k)
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)))
-    return d.select("doc_id", F.explode(sh).alias("shingle"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)))
+
+
+def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-doc DISTINCT k-token shingle array ``(doc_id, sh: array<string>)``
+    — map-only (``array_distinct`` over a native transform; no explode, no
+    shuffle). Docs with fewer than k tokens produce no row, matching the
+    exploded form. The array is bounded by document length, so rows stay
+    shuffle-safe when a downstream join does move them."""
+    return _with_tokens(docs, k).select(
+        "doc_id", F.array_distinct(_sh_expr(k)).alias("sh")
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Exploded ``(doc_id, shingle)`` rows, distinct per doc — map-only.
+    The generator input stays an inline expression (NOT shingle_sets'
+    aliased column) so InferFiltersFromGenerate cannot clone the shingling
+    pipeline into a pushed-down Filter (see module docstring)."""
+    return _with_tokens(docs, k).select(
+        "doc_id", F.explode(F.array_distinct(_sh_expr(k))).alias("shingle")
+    )
+
+
+def _sized_shingles(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, n_sh, shingle) rows — the per-doc distinct-set size rides
+    every exploded row, so Jaccard needs no separate sizes aggregate and no
+    post-join size lookups. Single evaluation of the shingle array: it is
+    bound ONCE as a lambda variable (transform over a one-element array),
+    and the struct explode carries (size, shingle) pairs out of it."""
+    bound = F.element_at(
+        F.transform(
+            F.array(F.array_distinct(_sh_expr(k))),
+            lambda sh: F.transform(
+                sh, lambda s: F.struct(F.size(sh).alias("n_sh"), s.alias("shingle"))
+            ),
+        ),
+        1,
+    )
+    return _with_tokens(docs, k).select(
+        "doc_id", F.explode(bound).alias("x")
+    ).select("doc_id", F.col("x.n_sh").alias("n_sh"), F.col("x.shingle").alias("shingle"))
 
 
 def jaccard_pairs(
@@ -46,42 +106,58 @@ def jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shared-shingle blocking:
     |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|. Quadratic blowup is
-    bounded because only docs sharing a shingle ever meet.
+    bounded because only docs sharing a shingle ever meet. Set sizes ride
+    the join rows (two ints) and the self-join reads ONE repartition
+    exchange from both sides — total: one corpus exchange plus the pair
+    groupBy (the old shape had 11 exchanges: a corpus-wide distinct, a
+    sizes aggregate, and two size lookup joins, all gone).
 
     ``df_cap_fraction``: at web scale, boilerplate shingles appear in a huge
     fraction of documents and quadratically dominate the self-join; setting
     e.g. 0.001 drops shingles present in >0.1% of docs BEFORE the join (one
-    extra groupBy). Off by default (exact semantics for the oracle gate)."""
+    extra groupBy). Off by default (exact semantics for the oracle gate).
+    The cap also defuses the one skew risk of partitioning by shingle: a
+    boilerplate shingle's rows all hash to one partition until it is
+    dropped."""
     d = docs
     if sample_mod > 1:
         d = d.filter(F.col("doc_id") % sample_mod == 0)
-    sh = shingles(d, k).distinct()
+    src = _sized_shingles(d, k)
     if df_cap_fraction is not None:
         n_docs = d.count()
         cap = max(int(n_docs * df_cap_fraction), 2)
         hot = (
-            sh.groupBy("shingle")
+            src.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > cap)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+        capped = src.join(F.broadcast(hot), "shingle", "left_anti")
+        # set sizes change when boilerplate shingles are removed: recompute
+        # them post-cap (matches the old sizes-after-filter semantics; only
+        # the capped/at-scale path pays the extra aggregate)
+        sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh_capped"))
+        src = (
+            capped.drop("n_sh")
+            .join(sizes, "doc_id")
+            .select("doc_id", F.col("n_sh_capped").alias("n_sh"), "shingle")
+        )
+    src = src.repartition("shingle")  # ONE exchange, reused by both join sides
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "shingle")
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            # na/nb are constant within the group (they rode the join rows)
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
         )
@@ -90,15 +166,64 @@ def jaccard_pairs(
     )
 
 
+MH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def minhash_coeffs(n_hashes: int) -> list:
+    """Deterministic affine coefficients (a_i odd < 2^31, b_i < 2^31) for the
+    universal-hash MinHash family, from a fixed 31-bit LCG — Python-side so
+    the Spark plan and the DuckDB oracle inline the SAME literals."""
+    x = 20260817
+    out = []
+    for _ in range(n_hashes):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = x | 1
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append((a, x))
+    return out
+
+
 def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 8) -> DataFrame:
-    """MinHash: per doc, min over shingles of portable_hash32(shingle, seed_i)
-    for each of n_hashes seeds — one groupBy, vectorized min aggregation."""
-    sh = shingles(docs, k).distinct()
+    """MinHash: per doc, min over shingles of n_hashes permutation values.
+    Each shingle is md5-hashed ONCE (portable_hash32); the per-seed values
+    derive from the classic universal-hash family h_i = (a_i·h + b_i) mod P
+    with P prime > 2^32 — the same construction the public datasketch
+    MinHash uses. An n-salted-md5s variant measured ~2.5× slower (the md5
+    dominates; a_i·h+b_i is three codegen'd integer ops). Overflow-safe in
+    signed 64-bit on both engines: a<2^31, h<2^32 ⇒ a·h+b < 2^63.
+
+    The mins run inside a codegen'd partial aggregate, so the exchange
+    carries ~(doc_id, n_hashes longs) per doc per input partition — no
+    shingle text, no corpus-wide distinct (per-doc dedup is array_distinct
+    in the map stage; duplicates wouldn't change a min, but deduping first
+    avoids re-hashing them)."""
+    ex = _with_tokens(docs, k).select(
+        "doc_id", F.explode(F.array_distinct(_sh_expr(k))).alias("shingle")
+    )
+    hashed = ex.select("doc_id", portable_hash32(F.col("shingle")).alias("h"))
     aggs = [
-        F.min(portable_hash32(F.col("shingle"), salt=f"#s{i}")).alias(f"mh{i}")
-        for i in range(n_hashes)
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MH_PRIME))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _band_structs(n_hashes: int, band_size: int):
+    """array<struct<band,bucket>> over the mh* signature columns — exploding
+    this hits every band in ONE pass over the signatures (a union of
+    per-band selects would recompute the whole signature pipeline per
+    band), and the inline CreateArray keeps InferFiltersFromGenerate out."""
+    n_bands = n_hashes // band_size
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh{b * band_size + j}").cast("string")
+                for j in range(band_size)
+            ])).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ])
 
 
 def minhash_band_buckets(
@@ -106,24 +231,15 @@ def minhash_band_buckets(
 ) -> DataFrame:
     """LSH banding: concat band_size minhashes per band → bucket id; returns
     (band, bucket, n_docs) for buckets holding >1 doc (dedup candidates).
-    The band index is part of the key, spreading buckets across partitions."""
+    The band index is part of the key, spreading buckets across partitions.
+    Two small exchanges total: the signature aggregate and the bucket
+    groupBy — both post-partial-agg row counts, never shingle text."""
     sig = minhash_signatures(docs, k, n_hashes)
-    n_bands = n_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
-        )
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
+    keyed = sig.select(
+        "doc_id", F.explode(_band_structs(n_hashes, band_size)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     return (
-        all_bands.groupBy("band", "bucket")
+        keyed.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
         .filter(F.col("n_docs") > 1)
     )
@@ -134,25 +250,14 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one (band, bucket). The
     self-join runs per bucket (band index in the key — no skew pile-up, no
-    all-pairs); multi-band collisions dedup to one row per pair. This is the
-    100 TB candidate generator — candidate volume is O(Σ bucket²) instead of
-    O(docs²), tunable via n_hashes/band_size."""
+    all-pairs); multi-band collisions dedup to one row per pair. Both join
+    branches read the ONE signature-aggregate exchange (ReusedExchange), so
+    scan+shingling+hashing run once. This is the 100 TB candidate
+    generator — candidate volume is O(Σ bucket²) instead of O(docs²),
+    tunable via n_hashes/band_size."""
     sig = minhash_signatures(docs, k, n_hashes)
-    n_bands = n_hashes // band_size
     keyed = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("|", *[
-                        F.col(f"mh{b * band_size + j}").cast("string")
-                        for j in range(band_size)
-                    ])).alias("bucket"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bb"),
+        "doc_id", F.explode(_band_structs(n_hashes, band_size)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = keyed.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = keyed.select(F.col("doc_id").alias("id_b"), "band", "bucket")
@@ -168,12 +273,14 @@ def jaccard_rescore(
     docs: DataFrame, pairs: DataFrame, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """EXACT shingle-Jaccard over candidate pairs only: per-doc shingle sets
-    ride two doc_id-keyed joins onto the (small) pair list, intersection via
-    native array_intersect. Set size is bounded by document length, so the
-    arrays are shuffle-safe at scale; nothing quadratic happens here."""
-    sh_sets = shingles(docs, k).groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh")
-    )
+    (map-only, :func:`shingle_sets`) ride two doc_id-keyed joins onto the
+    (small) pair list, intersection via native array_intersect. The sets sit
+    on one doc_id repartition that BOTH joins reuse (alias-aware output
+    partitioning carries it through the id_a/id_b renames), so the corpus is
+    shingled once and exchanged once; only pair-sized rows shuffle after
+    that. Set size is bounded by document length, so the arrays are
+    shuffle-safe at scale; nothing quadratic happens here."""
+    sh_sets = shingle_sets(docs, k).repartition("doc_id")
     a = sh_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -211,8 +318,13 @@ def near_dup_clusters_lsh(
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash over whitespace tokens: per bit, sign of Σ_token(±1) where the
-    token's hash bit decides the sign. Native: explode tokens → per-bit
-    contributions via transform → groupBy sum → bit pack."""
+    token's hash bit decides the sign. Explode + groupBy-sum: partial
+    aggregation folds the per-token rows map-side, so the exchange carries
+    (doc_id, ``bits`` ints) per doc per input partition — never one row per
+    token. (A fully map-only HOF-``aggregate`` variant was measured 19%
+    SLOWER despite its zero-exchange plan: higher-order-function lambdas are
+    interpreted per element, while this shape's when/sum expressions stay in
+    whole-stage codegen. Same finding as minhash_signatures.)"""
     toks = docs.select(
         "doc_id", F.explode(simple_tokens_col(F.lower("text"))).alias("t")
     )
@@ -331,9 +443,11 @@ def decontaminate(
     scan over the 100 TB train side is map-only (broadcast left-semi join —
     no shuffle of train data); emits (doc_id, n_shared_shingles) for
     thresholded dropping or auditing."""
-    tr = shingles(train, k)
+    tr = shingles(train, k)  # distinct per doc, map-only
     ev = shingles(eval_docs, k).select(F.col("shingle")).distinct()
     hits = tr.join(F.broadcast(ev), "shingle")
+    # tr rows are already distinct per doc, so plain count == countDistinct
+    # (and skips a per-group dedup in the aggregate)
     return hits.groupBy("doc_id").agg(
-        F.countDistinct("shingle").alias("n_shared_shingles")
+        F.count(F.lit(1)).alias("n_shared_shingles")
     )
