@@ -373,6 +373,15 @@ def near_dup_clusters(
         F.col(id_col).cast("long").alias("node"),
         F.col(quality_col).cast("double").alias("q"),
     )
+    # NOTE on a rejected "optimization": repartitioning withq by component
+    # so the keeper aggregate and the final join share one ReusedExchange
+    # does NOT work — column pruning gives the two branches different
+    # schemas (the join side drops q), so the exchanges never canonicalize
+    # equal, and the repartition only replaces the aggregate branch's
+    # skew-safe partial-agg-before-exchange (one row per component per
+    # partition) with shipping raw member rows. The double subtree below is
+    # nearly free: both copies are column-pruned scans, and the extra
+    # exchange carries two longs per clustered node.
     withq = comp.join(q, "node")
     keep = withq.groupBy("component").agg(
         F.max_by("node", F.struct(F.col("q"), -F.col("node"))).alias("keep_id")

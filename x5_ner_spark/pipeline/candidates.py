@@ -127,11 +127,15 @@ def lsh_candidates(
 
     m = banded(mentions, "mention_norm", ["mention", "mention_norm", "pred"])
     d = banded(alias_dict, "alias_norm", ["alias_norm", "entity_id", "entity_kind", "prior"])
+    # filter BEFORE the cross-band dedup: the distinct's exchange then
+    # carries only pairs within edit distance (levenshtein re-runs per band
+    # collision, but that CPU is map-side and cheap next to shuffle bytes
+    # at corpus scale; result is identical — filter commutes with distinct)
     pairs = (
         m.join(d, ["band", "bucket"])
         .drop("band", "bucket")
-        .distinct()
         .filter(F.levenshtein("mention_norm", "alias_norm") <= max_edit_distance)
+        .distinct()
     )
     return pairs.select(
         "mention", "mention_norm", "pred", "entity_id", "entity_kind", "prior",
