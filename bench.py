@@ -217,6 +217,60 @@ def run_headline(master: str, include_pipeline: bool = True) -> dict:
 
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "240000"))
 SCALING_SENTENCES = int(os.environ.get("SPARK_GRAFT_SCALING_SENTENCES", "12"))
+SCALING_DEDUP_MULT = int(os.environ.get("SPARK_GRAFT_SCALING_DEDUP_MULT", "48"))
+
+
+def _docs_for_dedup(spark, mult: int, partitions: int):
+    """Scaling corpus for the dedup leg: the $SPARK_GRAFT_SF_DIR documents
+    multiplied ``mult``× with a LINEAR near-dup structure — per (group,
+    base-doc) a deterministic token shuffle (3-shingle Jaccard across
+    groups ≈ 0, so groups never cluster together) plus ONE planted near-dup
+    partner (last token swapped for a marker, J ≈ 0.93). Corpus size =
+    2·mult·|base|, planted pairs = mult·|base| — candidate volume grows
+    linearly with the corpus, the realistic web shape. (A first cut that
+    replicated docs verbatim made every base doc a mult-clique: candidate
+    pairs grew QUADRATICALLY in mult and the job degenerated into one giant
+    rescore of clique edges — rejected.) Deterministic, materialized once;
+    both legs stream the SAME bytes from storage."""
+    import random
+    import tempfile
+
+    import pandas as pd
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"x5bench_dedupdocs3_{_sf_label(SF_DIR)}_{mult}_{partitions}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = (
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .select("doc_id", "text")
+            .toPandas()
+        )
+        ids, texts, n_chars = [], [], []
+        for g in range(mult):
+            for doc_id, text in zip(base["doc_id"], base["text"]):
+                # per-base-doc token salt: the sf documents share a ~30-word
+                # synthetic vocabulary, so UNRELATED docs have chance
+                # 3-shingle Jaccard ~0.1-0.3 and LSH buckets grow with the
+                # corpus — candidate pairs went QUADRATIC (5.2M candidates
+                # for 240k planted pairs at mult=48, max bucket 823). Real
+                # web text has a vocabulary that grows with the corpus;
+                # salting reproduces that (cross-doc J ≈ 0, planted-pair
+                # J ≈ 0.93, candidate volume linear).
+                toks = [f"{t}~{int(doc_id)}" for t in text.split()]
+                random.Random(g * 1_000_003 + int(doc_id)).shuffle(toks)
+                t1 = " ".join(toks)
+                t2 = " ".join(toks[:-1] + [f"ndmark{g}"])
+                ids += [g * 10_000_000 + int(doc_id) * 2,
+                        g * 10_000_000 + int(doc_id) * 2 + 1]
+                texts += [t1, t2]
+                n_chars += [len(t1), len(t2)]
+        pdf = pd.DataFrame({"doc_id": ids, "text": texts, "n_chars": n_chars})
+        spark.createDataFrame(pdf).repartition(partitions).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
 
 
 def scaling_child(cores: int) -> None:
@@ -236,8 +290,36 @@ def scaling_child(cores: int) -> None:
     arrow_batch = os.environ.get("SPARK_GRAFT_ARROW_BATCH")
     if arrow_batch:
         extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = arrow_batch
+    if os.environ.get("SPARK_GRAFT_SCALING_DEDUP"):
+        # the dedup corpus is small (tens of MB) — at the default 128 MB
+        # maxPartitionBytes the whole scan packs into 1-2 file splits and
+        # the map stage (shingling + hashing + partial agg, the bulk of the
+        # work) runs ~2 tasks REGARDLESS of cores (measured: sigs 12.9s at
+        # 8 cores vs 13.2s at 2). At 100 TB the scan has thousands of
+        # natural splits; a 4 MB split size is the sandbox equivalent.
+        extra["spark.sql.files.maxPartitionBytes"] = str(4 << 20)
     spark = get_spark(master=f"local[{cores}]", app_name=f"x5-scaling-{cores}",
                       shuffle_partitions=max(2 * cores, 16), extra_conf=extra)
+    # SPARK_GRAFT_SCALING_DEDUP=1: scale the PRODUCTION dedup path instead
+    # of the linear KG path — near_dup_clusters_lsh (MinHash-LSH buckets →
+    # candidate pairs → exact rescore → CC → keeper) over a corpus with one
+    # planted near-dup partner per doc. Same two-leg / same-input
+    # discipline.
+    if os.environ.get("SPARK_GRAFT_SCALING_DEDUP"):
+        from x5_ner_spark.operators.dedup import near_dup_clusters_lsh
+
+        # constant layout (NOT 2*cores): both legs read the SAME parquet
+        # files; scan parallelism comes from the split size above
+        docs = _docs_for_dedup(spark, SCALING_DEDUP_MULT, partitions=32)
+        n_docs = docs.count()  # off the clock (metadata-only on parquet)
+        t0 = time.time()
+        _noop_write(near_dup_clusters_lsh(docs))
+        dt = time.time() - t0
+        print(json.dumps({"cores": cores, "wall_sec": round(dt, 3),
+                          "docs_per_sec": round(n_docs / dt, 1),
+                          "n_docs": n_docs, "variant": "dedup"}))
+        spark.stop()
+        return
     # input fully ON DISK before the clock starts; the timed job streams it
     # from parquet per-partition (production shape), nothing pinned in the
     # block manager
@@ -265,12 +347,22 @@ def run_scaling() -> dict:
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
     )
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    # SPARK_GRAFT_SCALING_TASKSET=1: pin each child to exactly ``cores``
+    # host CPUs. local[N] caps TASK SLOTS only — JVM helper threads (GC,
+    # shuffle IO, parquet decompression) spill onto the other host cores,
+    # systematically flattering the small-N leg of JVM-heavy jobs; the
+    # Arrow/Python KG legs are less affected because python workers
+    # dominate and are slot-capped. Pinning makes "N cores" mean N cores.
+    pin = os.environ.get("SPARK_GRAFT_SCALING_TASKSET")
     results: dict[int, dict] = {}
     for cores in (lo, hi):
         best = None
         for _ in range(repeats):
+            cmd = [sys.executable, __file__, "--scaling-child", str(cores)]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             p = subprocess.run(
-                [sys.executable, __file__, "--scaling-child", str(cores)],
+                cmd,
                 capture_output=True, text=True, cwd=REPO, timeout=3600,
             )
             line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
@@ -280,10 +372,20 @@ def run_scaling() -> dict:
         results[cores] = best
     ratio = hi / lo
     eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / ratio
+    if os.environ.get("SPARK_GRAFT_SCALING_DEDUP"):
+        variant = "dedup"
+    elif os.environ.get("SPARK_GRAFT_SCALING_NPZ"):
+        variant = "npz"
+    else:
+        variant = "stub"
+    sized = (
+        {"n_docs": results[hi].get("n_docs"), "dedup_mult": SCALING_DEDUP_MULT}
+        if variant == "dedup"
+        else {"n_pages": SCALING_PAGES, "sentences_per_page": SCALING_SENTENCES}
+    )
     return {
-        "n_pages": SCALING_PAGES,
-        "sentences_per_page": SCALING_SENTENCES,
-        "variant": "npz" if os.environ.get("SPARK_GRAFT_SCALING_NPZ") else "stub",
+        **sized,
+        "variant": variant,
         "cores_n": lo,
         "cores_4n": hi,
         f"local{lo}_docs_per_sec": results[lo]["docs_per_sec"],

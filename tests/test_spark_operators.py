@@ -423,3 +423,50 @@ def test_pmi_collocations_semantics(spark):
     # 'черная' appears 12 times split over two pairs → lower PMI
     assert pairs[("красная", "икра")] > pairs[("черная", "икра")]
     assert out == sorted(out, key=lambda t: (-t[2], t[0], t[1]))
+
+
+def test_minhash_signature_agreement_estimates_jaccard(spark):
+    """The defining MinHash property for the universal-hash family
+    (h_i = (a_i*md5_32(shingle) + b_i) mod P): P[mh_i(A) == mh_i(B)] equals
+    the shingle-set Jaccard, so signature agreement over n_hashes is an
+    unbiased J estimate. Pins the family SEMANTICALLY (the oracle gate only
+    pins that both engines compute the same numbers): exact J computed in
+    pure Python with the same tokenizer/shingling, agreement within 3 sigma
+    for low/mid/high-overlap pairs, and ordered like the true overlaps."""
+    import math
+
+    from x5_ner_spark.operators.dedup import minhash_signatures
+
+    pool = [f"tok{i:03d}" for i in range(220)]
+    n_tok, n_hashes, k = 120, 32, 3
+    pairs = {  # doc_id pair -> tokens shared from the pool prefix
+        (0, 1): 116,   # near-dup
+        (2, 3): 60,    # partial overlap
+        (4, 5): 6,     # disjoint-ish (few shared shingles)
+    }
+    rows, py_sets = [], {}
+    for (ia, ib), shared in pairs.items():
+        ta = pool[:n_tok]
+        tb = pool[:shared] + pool[n_tok : 2 * n_tok - shared]
+        for i, toks in ((ia, ta), (ib, tb)):
+            rows.append((i, " ".join(toks)))
+            py_sets[i] = {
+                " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+            }
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(n_hashes)]
+        for r in minhash_signatures(docs, k=k, n_hashes=n_hashes).collect()
+    }
+    observed = []
+    for (ia, ib), _ in pairs.items():
+        inter = len(py_sets[ia] & py_sets[ib])
+        union = len(py_sets[ia] | py_sets[ib])
+        j = inter / union
+        agree = sum(a == b for a, b in zip(sig[ia], sig[ib])) / n_hashes
+        sigma = math.sqrt(j * (1 - j) / n_hashes)
+        assert abs(agree - j) <= max(3 * sigma, 2 / n_hashes), (
+            f"pair {(ia, ib)}: agreement {agree} vs exact J {j:.3f}"
+        )
+        observed.append(agree)
+    assert observed[0] > observed[1] > observed[2]
