@@ -114,8 +114,15 @@ def _subword_ckpt() -> str:
     vocab += sorted(chars) + ["##" + c for c in sorted(chars)]
     seen: set[str] = set()
     vocab = [p for p in vocab if not (p in seen or seen.add(p))]
+    # cache key = hash of the DERIVED vocab, not just the fixture module:
+    # the derivation logic above lives in bench.py, so keying only on
+    # _fixture_version() would silently reuse a stale checkpoint after an
+    # edit here (ADVICE r6)
+    import hashlib
+
+    vkey = hashlib.md5("\n".join(vocab).encode()).hexdigest()[:8]
     path = os.path.join(
-        tempfile.gettempdir(), f"x5bench_subword_{_fixture_version()}.npz"
+        tempfile.gettempdir(), f"x5bench_subword_{_fixture_version()}_{vkey}.npz"
     )
     if not os.path.exists(path):
         write_subword_checkpoint(path, vocab, max_len=160)
@@ -246,6 +253,14 @@ def _docs_for_dedup(spark, mult: int, partitions: int):
             spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
             .select("doc_id", "text")
             .toPandas()
+        )
+        # id scheme below packs (group, base doc, partner bit) into one long
+        # with a 10M stride per group — a base doc_id ≥ 5M would collide
+        # across groups and silently corrupt the planted-pair structure
+        # (ADVICE r6); every sf dir is far below this
+        assert int(base["doc_id"].max()) < 5_000_000, (
+            f"base doc_id {int(base['doc_id'].max())} too large for the "
+            "group-stride id scheme; widen the stride"
         )
         ids, texts, n_chars = [], [], []
         for g in range(mult):
@@ -394,6 +409,22 @@ def run_scaling() -> dict:
     }
 
 
+def _window_verdict(run_totals: list[float], load_start: list[float]) -> tuple[bool, list[str]]:
+    """Noise gate for the published artifact (VERDICT r6 #2): BENCH_r06.json
+    captured a neighbor-load window (run_totals 58.6/95.8/57.3, load→8.3)
+    and misread as a 1.2–1.7× regression even though the JSON itself carried
+    the tells. Verdict is mechanical: a >1.5× spread across repeats or a
+    busy host at start (load_avg[0] > 1.0 before any JVM spins up) marks the
+    window loud."""
+    spread = max(run_totals) / min(run_totals) if min(run_totals) > 0 else float("inf")
+    reasons = []
+    if spread > 1.5:
+        reasons.append(f"run_totals spread {spread:.2f} > 1.5")
+    if load_start[0] > 1.0:
+        reasons.append(f"load_avg_start {load_start[0]} > 1.0")
+    return (not reasons), reasons
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -426,27 +457,47 @@ def main() -> None:
     # third run materially improves the chance that at least one repeat
     # lands clean; "value" remains the best SINGLE-run total
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    load_start = [round(x, 2) for x in os.getloadavg()]
-    runs = [
-        run_headline(f"local[{CPUS}]", include_pipeline=not args.no_pipeline)
-        for _ in range(repeats)
-    ]
-    queries = {
-        name: min(r["queries"][name] for r in runs) for name in runs[0]["queries"]
-    }
+    # noise gate (VERDICT r6 #2): a loud window is detected from the run's
+    # own stamps and retried once (configurable) before publishing; every
+    # rejected attempt stays in the JSON as an explicit trail so the
+    # artifact adjudicates itself.
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_WINDOW_RETRIES", "1"))
+    rejected_windows: list[dict] = []
+    for attempt in range(retries + 1):
+        load_start = [round(x, 2) for x in os.getloadavg()]
+        runs = [
+            run_headline(f"local[{CPUS}]", include_pipeline=not args.no_pipeline)
+            for _ in range(repeats)
+        ]
+        load_end = [round(x, 2) for x in os.getloadavg()]
+        run_totals = [r["total_sec"] for r in runs]
+        window_ok, window_reasons = _window_verdict(run_totals, load_start)
+        if window_ok or attempt == retries:
+            break
+        rejected_windows.append(
+            {
+                "run_totals_sec": run_totals,
+                "load_avg_start": load_start,
+                "load_avg_end": load_end,
+                "reasons": window_reasons,
+            }
+        )
     # cold/warm split (VERDICT r5 #5): the first run of a fresh JVM pays
     # ~1.3s/query of whole-stage-codegen compile that later runs don't
     # (codegen caches per-JVM by exact source; the repeats here share one
-    # JVM). Reporting both makes driver-visible first-run variance
-    # attributable at a glance instead of reading as a plan regression.
+    # JVM). ``queries`` — the per-query composite readers compare across
+    # rounds — is the best of the WARM runs only (VERDICT r6 #7: including
+    # the cold run let the composite undercut the warm column, a recurring
+    # reader confusion); the cold run stays visible verbatim in
+    # ``queries_cold``.
+    warm_runs = runs[1:] if len(runs) > 1 else runs
+    queries = {
+        name: min(r["queries"][name] for r in warm_runs)
+        for name in runs[0]["queries"]
+    }
     queries_cold = dict(runs[0]["queries"])
-    queries_warm = (
-        {name: min(r["queries"][name] for r in runs[1:]) for name in queries}
-        if len(runs) > 1
-        else None
-    )
     # headline "value" is the best SINGLE-RUN total (a total some run actually
-    # achieved — ADVICE r3 #5); the per-query minima across runs remain as a
+    # achieved — ADVICE r3 #5); the per-query warm minima remain as a
     # separate, explicitly-labeled composite for per-query comparisons.
     out = {
         "metric": "headline_total_sec",
@@ -455,12 +506,14 @@ def main() -> None:
         "per_query_best_composite_sec": round(sum(queries.values()), 3),
         "queries": queries,
         "queries_cold": queries_cold,
-        "queries_warm": queries_warm,
         "sf": _sf_label(SF_DIR),
         "repeats": repeats,
-        "run_totals_sec": [r["total_sec"] for r in runs],
+        "run_totals_sec": run_totals,
         "load_avg_start": load_start,
-        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "load_avg_end": load_end,
+        "window_ok": window_ok,
+        "window_reasons": window_reasons,
+        "rejected_windows": rejected_windows,
     }
     for k in (
         "pipeline_docs_per_sec",

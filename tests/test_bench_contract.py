@@ -43,11 +43,17 @@ def _canned_runs():
     return [mk(2.0, 5.0, 3.0), mk(1.0, 4.0, 2.0), mk(1.2, 3.5, 2.5)]
 
 
+def _quiet_load(benchmod, monkeypatch):
+    # the gate reads the REAL host load; tests must not depend on it
+    monkeypatch.setattr(benchmod.os, "getloadavg", lambda: (0.1, 0.1, 0.1))
+
+
 def test_bench_json_contract(benchmod, monkeypatch, capsys):
     runs = _canned_runs()
     monkeypatch.setattr(benchmod, "run_headline", lambda *a, **k: runs.pop(0))
     monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "3")
     monkeypatch.setattr(sys, "argv", ["bench.py"])
+    _quiet_load(benchmod, monkeypatch)
     benchmod.main()
     lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
     assert len(lines) == 1, "exactly ONE JSON line"
@@ -56,30 +62,80 @@ def test_bench_json_contract(benchmod, monkeypatch, capsys):
     # headline value = best SINGLE-run total (a total some run achieved)
     assert out["metric"] == "headline_total_sec" and out["unit"] == "sec"
     assert out["value"] == 7.0
-    # per-query minima across runs + their composite
+    # per-query composite = best of the WARM runs only (VERDICT r6 #7: the
+    # cold run is excluded so the composite can never undercut warm numbers)
     assert out["queries"] == {"q_fast": 1.0, "q_slow": 3.5, "kg_linear_npz": 2.0}
     assert out["per_query_best_composite_sec"] == 6.5
-    # cold/warm split (VERDICT r5 #5): cold = run 0 verbatim, warm = best of
-    # later repeats — cold must be visibly distinct from warm
+    # cold run stays visible verbatim (VERDICT r5 #5)
     assert out["queries_cold"] == {"q_fast": 2.0, "q_slow": 5.0, "kg_linear_npz": 3.0}
-    assert out["queries_warm"] == {"q_fast": 1.0, "q_slow": 3.5, "kg_linear_npz": 2.0}
+    assert "queries_warm" not in out  # folded into "queries" in r7
     # npz throughput propagates (VERDICT r5 #1)
     assert out["linear_npz_docs_per_sec"] == 1500.0
-    # auditability stamps
+    # auditability stamps + noise-gate verdict (VERDICT r6 #2)
     assert out["repeats"] == 3 and len(out["run_totals_sec"]) == 3
     assert "load_avg_start" in out and "load_avg_end" in out
+    assert out["window_ok"] is True and out["rejected_windows"] == []
 
 
-def test_bench_single_repeat_has_no_warm_column(benchmod, monkeypatch, capsys):
+def test_bench_single_repeat_composite_is_cold(benchmod, monkeypatch, capsys):
     run = _canned_runs()[0]
     monkeypatch.setattr(benchmod, "run_headline", lambda *a, **k: dict(run))
     monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "1")
     monkeypatch.setattr(sys, "argv", ["bench.py"])
+    _quiet_load(benchmod, monkeypatch)
     benchmod.main()
     line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][0]
     out = json.loads(line)
+    # with a single run there is no warm set — composite = the one (cold) run
     assert out["queries_cold"] == out["queries"]
-    assert out["queries_warm"] is None  # no later repeats to call "warm"
+
+
+def test_bench_loud_window_retries_and_records_trail(benchmod, monkeypatch, capsys):
+    """VERDICT r6 #2: a loud window (run_totals spread > 1.5) is retried
+    once and the rejection trail is published; the final JSON carries the
+    quiet attempt's numbers with window_ok=true."""
+    loud = [
+        {"total_sec": 20.0, "queries": {"q": 20.0}},
+        {"total_sec": 58.0, "queries": {"q": 58.0}},  # 2.9× spread
+        {"total_sec": 21.0, "queries": {"q": 21.0}},
+    ]
+    quiet = [
+        {"total_sec": 10.0, "queries": {"q": 10.0}},
+        {"total_sec": 9.0, "queries": {"q": 9.0}},
+        {"total_sec": 9.5, "queries": {"q": 9.5}},
+    ]
+    seq = loud + quiet
+    monkeypatch.setattr(benchmod, "run_headline", lambda *a, **k: seq.pop(0))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "3")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    _quiet_load(benchmod, monkeypatch)
+    benchmod.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][0]
+    out = json.loads(line)
+    assert out["window_ok"] is True and out["window_reasons"] == []
+    assert out["value"] == 9.0 and out["run_totals_sec"] == [10.0, 9.0, 9.5]
+    (rej,) = out["rejected_windows"]
+    assert rej["run_totals_sec"] == [20.0, 58.0, 21.0]
+    assert any("spread" in r for r in rej["reasons"])
+
+
+def test_bench_loud_window_exhausted_retries_publishes_flagged(
+    benchmod, monkeypatch, capsys
+):
+    """When every attempt is loud the artifact still publishes — flagged
+    window_ok=false with the reasons, never silently."""
+    mk = lambda t: {"total_sec": t, "queries": {"q": t}}
+    seq = [mk(20.0), mk(58.0), mk(21.0), mk(22.0), mk(60.0), mk(23.0)]
+    monkeypatch.setattr(benchmod, "run_headline", lambda *a, **k: seq.pop(0))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "3")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    _quiet_load(benchmod, monkeypatch)
+    benchmod.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][0]
+    out = json.loads(line)
+    assert out["window_ok"] is False
+    assert any("spread" in r for r in out["window_reasons"])
+    assert len(out["rejected_windows"]) == 1  # default retry budget = 1
 
 
 def test_headline_queries_exist_in_registry(benchmod):

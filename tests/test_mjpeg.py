@@ -252,6 +252,41 @@ def test_one_table_parse_per_video(monkeypatch):
         assert np.allclose(np.array(feat), np.array(expect), atol=1e-6)
 
 
+def test_one_table_parse_per_payload_whole_file(monkeypatch):
+    """VERDICT r6 #5: the whole-file feature path (_real_decode's ftyp
+    branch) resolves payload→track through media.video_track — exactly ONE
+    mp4_sample_table walk per payload, same property the sampled-frame loop
+    already pins above."""
+    from x5_ner_spark.operators import multimodal as mm
+
+    frames = _frames(3)
+    payload = M.encode_mjpeg(frames, fps=4)
+    calls = {"n": 0}
+    real = M.mp4_sample_table
+
+    def counting(p):
+        calls["n"] += 1
+        return real(p)
+
+    monkeypatch.setattr(M, "mp4_sample_table", counting)
+    feat = mm._real_decode(payload, "video")
+    assert calls["n"] == 1
+    expect = M.image_feature(decode_jpeg(encode_jpeg(frames[0])))
+    assert np.allclose(np.array(feat), np.array(expect), atol=1e-6)
+
+
+def test_truncated_sample_range_fails_loudly():
+    """ADVICE r6: a sample (offset, size) range past the payload must raise,
+    not hand the codec a silently-truncated slice."""
+    payload = bytearray(M.encode_mjpeg(_frames(2)))
+    t = payload.find(b"stco")
+    # stco body: version/flags(4) n(4) then u32 chunk offsets — point the
+    # first chunk base near the end of the payload so sample 0 overruns
+    payload[t + 12 : t + 16] = (len(payload) - 4).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="exceeds payload"):
+        M.decode_video_frame(bytes(payload), 0)
+
+
 def test_stsz_declared_count_clamped_to_payload():
     """ADVICE r5 (medium): a fixed-size stsz declaring 2^30 samples in a
     tiny payload must raise, not allocate gigabytes."""

@@ -68,10 +68,7 @@ def _video_frame_rows(
     the parse-once property is directly testable."""
     from ..core import media as M
 
-    video = [t for t in M.mp4_sample_table(payload) if t["handler"] == "vide"]
-    if not video:
-        raise ValueError("no video track with a sample table")
-    track = video[0]
+    track = M.video_track(payload)
     times = track["times_s"]
     dur = float(times[-1]) if len(times) else 0.0
     n_ticks = max(int(dur / every_s) + 1, 1)
@@ -126,11 +123,8 @@ def _real_decode(
         # real; an MJPEG track's first frame decodes natively via
         # core/jpeg.py. Codecs without a registry entry raise
         # NotImplementedError — the plug boundary (register_video_codec).
-        video = [t for t in M.mp4_sample_table(payload) if t["handler"] == "vide"]
-        if not video:
-            raise ValueError("no video track with a sample table")
         return M.image_feature(
-            M.decode_video_frame_from_table(payload, video[0], 0, codecs)
+            M.decode_video_frame_from_table(payload, M.video_track(payload), 0, codecs)
         )
     raise NotImplementedError(
         f"decode for {mime or kind!r} requires an external codec, not "
