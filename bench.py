@@ -88,16 +88,9 @@ def _pages_from_parquet(spark, n_pages: int, sentences: int, partitions: int):
     return spark.read.parquet(path)
 
 
-def _subword_ckpt() -> str:
-    """Realistic inference-provider checkpoint for the bench (VERDICT r5 #1):
-    a WordPiece vocab derived from the fixture lexicon, split into ≤4-char
-    pieces plus full char coverage, so fused_triples(emission_npz=...)
-    exercises the production model shape — greedy longest-match offsets,
-    multi-piece words, max_len-160 truncation, mean-of-piece softmax — the
-    path a real transformer export plugs into (ref infer.py:141-221)."""
-    import tempfile
-
-    from x5_ner_spark.core.subword import write_subword_checkpoint
+def _bench_vocab() -> list[str]:
+    """WordPiece vocab derived from the fixture lexicon: ≤4-char pieces plus
+    full char coverage — the shared input of both provider checkpoints."""
     from x5_ner_spark.pipeline import fixtures as FX
 
     words: set[str] = set()
@@ -113,19 +106,58 @@ def _subword_ckpt() -> str:
         chars.update(w)
     vocab += sorted(chars) + ["##" + c for c in sorted(chars)]
     seen: set[str] = set()
-    vocab = [p for p in vocab if not (p in seen or seen.add(p))]
-    # cache key = hash of the DERIVED vocab, not just the fixture module:
-    # the derivation logic above lives in bench.py, so keying only on
-    # _fixture_version() would silently reuse a stale checkpoint after an
-    # edit here (ADVICE r6)
+    return [p for p in vocab if not (p in seen or seen.add(p))]
+
+
+def _vocab_key(vocab: list[str]) -> str:
+    """Cache key = hash of the DERIVED vocab, not just the fixture module:
+    the derivation logic lives in bench.py, so keying only on
+    _fixture_version() would silently reuse a stale checkpoint after an
+    edit here (ADVICE r6)."""
     import hashlib
 
-    vkey = hashlib.md5("\n".join(vocab).encode()).hexdigest()[:8]
+    return hashlib.md5("\n".join(vocab).encode()).hexdigest()[:8]
+
+
+def _subword_ckpt() -> str:
+    """Realistic inference-provider checkpoint for the bench (VERDICT r5 #1):
+    a WordPiece vocab derived from the fixture lexicon, so
+    fused_triples(emission_npz=...) exercises the production model shape —
+    greedy longest-match offsets, multi-piece words, max_len-160 truncation,
+    mean-of-piece softmax — the path a real transformer export plugs into
+    (ref infer.py:141-221). CONTEXT-FREE: per-word outputs are cacheable, so
+    this leg measures the cached-inference regime."""
+    import tempfile
+
+    from x5_ner_spark.core.subword import write_subword_checkpoint
+
+    vocab = _bench_vocab()
     path = os.path.join(
-        tempfile.gettempdir(), f"x5bench_subword_{_fixture_version()}_{vkey}.npz"
+        tempfile.gettempdir(),
+        f"x5bench_subword_{_fixture_version()}_{_vocab_key(vocab)}.npz",
     )
     if not os.path.exists(path):
         write_subword_checkpoint(path, vocab, max_len=160)
+    return path
+
+
+def _ctx_ckpt() -> str:
+    """CONTEXTUAL transformer checkpoint (VERDICT r6 #1): same vocab, real
+    self-attention forward (core/ctx_transformer.py) — per-word outputs
+    depend on the whole sequence, so nothing below the full text is
+    cacheable. This leg measures the uncached-inference regime a production
+    transformer actually runs in; the npz leg above is the cached bound."""
+    import tempfile
+
+    from x5_ner_spark.core.ctx_transformer import write_ctx_checkpoint
+
+    vocab = _bench_vocab()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"x5bench_ctx_{_fixture_version()}_{_vocab_key(vocab)}.npz",
+    )
+    if not os.path.exists(path):
+        write_ctx_checkpoint(path, vocab, max_len=160)
     return path
 
 
@@ -218,6 +250,17 @@ def run_headline(master: str, include_pipeline: bool = True) -> dict:
         times["kg_linear_npz"] = round(dt, 3)
         total += dt
         extras["linear_npz_docs_per_sec"] = round(PIPELINE_PAGES / dt, 1)
+
+        # SAME input through the CONTEXTUAL transformer provider (VERDICT r6
+        # #1): self-attention forward, only full-text caching possible —
+        # the uncached-inference regime a production transformer runs in.
+        ctx = _ctx_ckpt()
+        t0 = time.time()
+        _noop_write(fused.fused_triples(pages, emission_npz=ctx))
+        dt = time.time() - t0
+        times["kg_linear_ctx"] = round(dt, 3)
+        total += dt
+        extras["linear_ctx_docs_per_sec"] = round(PIPELINE_PAGES / dt, 1)
     spark.stop()
     return {"total_sec": round(total, 3), "queries": times, **extras}
 
@@ -343,14 +386,21 @@ def scaling_child(cores: int) -> None:
     )
     # SPARK_GRAFT_SCALING_NPZ=1: drive the realistic subword-checkpoint
     # provider instead of the stub — the inference-stage scaling pair
-    # (VERDICT r5 #1); checkpoint written before the clock starts
-    npz = _subword_ckpt() if os.environ.get("SPARK_GRAFT_SCALING_NPZ") else None
+    # (VERDICT r5 #1). SPARK_GRAFT_SCALING_CTX=1: the CONTEXTUAL transformer
+    # provider (VERDICT r6 #1) — the uncached-inference scaling pair.
+    # Checkpoints are written before the clock starts.
+    if os.environ.get("SPARK_GRAFT_SCALING_CTX"):
+        npz, variant = _ctx_ckpt(), "ctx"
+    elif os.environ.get("SPARK_GRAFT_SCALING_NPZ"):
+        npz, variant = _subword_ckpt(), "npz"
+    else:
+        npz, variant = None, "stub"
     t0 = time.time()
     _noop_write(fused.fused_triples(pages, emission_npz=npz))
     dt = time.time() - t0
     print(json.dumps({"cores": cores, "wall_sec": round(dt, 3),
                       "docs_per_sec": round(SCALING_PAGES / dt, 1),
-                      "variant": "npz" if npz else "stub"}))
+                      "variant": variant}))
     spark.stop()
 
 
@@ -389,6 +439,8 @@ def run_scaling() -> dict:
     eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / ratio
     if os.environ.get("SPARK_GRAFT_SCALING_DEDUP"):
         variant = "dedup"
+    elif os.environ.get("SPARK_GRAFT_SCALING_CTX"):
+        variant = "ctx"
     elif os.environ.get("SPARK_GRAFT_SCALING_NPZ"):
         variant = "npz"
     else:
@@ -519,6 +571,7 @@ def main() -> None:
         "pipeline_docs_per_sec",
         "linear_docs_per_sec",
         "linear_npz_docs_per_sec",
+        "linear_ctx_docs_per_sec",
     ):
         vals = [r[k] for r in runs if k in r]
         if vals:

@@ -219,17 +219,23 @@ def provider_for(path: str):
     lazy model singleton, service/app.py:20-34). An updated file (new mtime)
     triggers exactly one reload.
 
-    Dispatch by checkpoint contents: an npz carrying a ``vocab`` array is a
-    sequence-level subword checkpoint (core/subword.py — real tokenizer
-    offsets + max_len truncation, ref infer.py:141-189); otherwise the
-    word-level MLP checkpoint."""
+    Dispatch by checkpoint contents: an npz carrying attention weights
+    (``wq``) is a CONTEXTUAL transformer checkpoint (core/ctx_transformer.py
+    — the production-model shape, ref infer.py:178-183); one carrying only a
+    ``vocab`` array is the context-free sequence-level subword checkpoint
+    (core/subword.py — real tokenizer offsets + max_len truncation, ref
+    infer.py:141-189); otherwise the word-level MLP checkpoint."""
     key = os.path.abspath(path)
     mtime = os.path.getmtime(key)
     hit = _PROVIDERS.get(key)
     if hit is None or hit[0] != mtime:
         with np.load(key, allow_pickle=False) as z:
-            is_subword = "vocab" in z.files
-        if is_subword:
+            files = set(z.files)
+        if "wq" in files:
+            from .ctx_transformer import CtxTransformerProvider
+
+            prov = CtxTransformerProvider(key)
+        elif "vocab" in files:
             from .subword import SubwordEmissionProvider
 
             prov = SubwordEmissionProvider(key)
