@@ -20,6 +20,7 @@ from x5_ner_spark.functions.columns import (
     simple_tokens_col,
 )
 from x5_ner_spark.operators import (
+    crf_train,
     decision_log as decision_log_op,
     dedup,
     eval_ops,
@@ -168,15 +169,6 @@ def q_prf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counters.join(metrics, "event_type")
 
 
-def q_lead_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/J5: next-row prefix comparison over a global total order."""
-    flags = windows.lead_prefix_flags(_t(spark, sf_dir, "documents"))
-    return flags.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("prefix_match").cast("bigint").alias("n_prefix_matches"),
-    )
-
-
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 gaps-and-islands sessionization per user."""
     return windows.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
@@ -290,14 +282,33 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite gate query covering four reference behaviors in one registry
+    """Composite gate query covering five reference behaviors in one registry
     slot (the driver evaluates only the first 50 entries — VERDICT r3 #5):
     O1/O3 global sort+limit (ref process_submission.py:66-77), A5
     stratification sizes (ref split_train_val.py:62-66), A6 column means
     (ref process_submission.py:78-82), E3 error buckets (ref
-    diff_analyser.py:30-91). Scalar-only surface (facet, key, sub, txt, num);
-    num is always double so the union column has one dtype on both engines."""
+    diff_analyser.py:30-91), and W1/J5 next-row prefix comparison over a
+    global total order (moved here from the standalone lead_prefix entry in
+    r7 to free the slot for crf_decode — coverage unchanged). Scalar-only
+    surface (facet, key, sub, txt, num); num is always double so the union
+    column has one dtype on both engines."""
     docs = _t(spark, sf_dir, "documents")
+    lead_pref = (
+        windows.lead_prefix_flags(docs)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("prefix_match").cast("bigint").alias("n_prefix_matches"),
+        )
+        .select(
+            F.lit("lead_prefix").alias("facet"),
+            F.lit("").alias("key"),
+            F.expr(
+                "stack(2, 'n_pairs', CAST(n_pairs AS DOUBLE), "
+                "'n_prefix_matches', CAST(n_prefix_matches AS DOUBLE)) AS (sub, num)"
+            ),
+        )
+        .select("facet", "key", "sub", F.lit("").alias("txt"), "num")
+    )
     sort_limit = (
         docs.orderBy(F.asc("text"), F.asc("doc_id"))
         .limit(20)
@@ -343,7 +354,10 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double").alias("num"),
     )
     return (
-        sort_limit.unionByName(group_sizes).unionByName(summary).unionByName(buckets)
+        sort_limit.unionByName(group_sizes)
+        .unionByName(summary)
+        .unionByName(buckets)
+        .unionByName(lead_pref)
     )
 
 
@@ -617,6 +631,18 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3/N4 decode surface (VERDICT r6 #3): bounded-window Viterbi over the
+    stub emission softmax with the hash-derived stub CRF transitions (ref
+    infer.py:186-189 viterbi_decode). The DuckDB oracle replays the shared
+    tokenization+softmax prefix, then the DP UNROLLED over 8 positions —
+    per-step (prev,label) score terms materialized as columns, first-max-wins
+    argmax backpointers, masked carry for shorter docs, and the backtrack as
+    chained CTEs (lateral-alias substitution would blow up exponentially)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return crf_train.crf_decode_tokens(docs, t_max=8)
+
+
 def q_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 proper: per-word decision log (token, BIO label, cascade reason,
     probabilities, feature flags) over a deterministic document subset, with
@@ -718,7 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bins": q_range_join_bins,
         "token_topk": q_token_topk,
         "prf_eval": q_prf_eval,
-        "lead_prefix": q_lead_prefix,
+        "crf_decode": q_crf_decode,
         "sessionize": q_sessionize,
         "lag_relabel": q_lag_relabel,
         "zero_after_marker": q_zero_after_marker,
@@ -790,27 +816,14 @@ def _cos_sql(a: str, b: str, digits: int) -> str:
     return (f"ROUND({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), {digits})")
 
 
-def _decision_log_sql(
-    n_docs: int = 200, lexicon: "list[str] | None" = None, suffix: str = "",
-) -> str:
-    """DuckDB replica of the FULL decision-log pipeline: WORD_RE tokenization
-    with char offsets (runs of [\\p{L}\\p{N}-] trimmed to the first letter),
-    the stub model (md5 → 64-bit LCG → scaled noise + heuristic biases →
-    softmax), the cascade ladder/guards with the pinned short-word break, BIO
-    continuity via lag. Float-sensitive constants (t*1.3, 0.55+0.10) are
-    precomputed in Python and inlined as double literals so both engines
-    compare against bit-identical thresholds.
-
-    With ``lexicon`` the in_lex / fuzzy path is replayed too: in_lex is exact
-    lex-norm equality; WRatio≥90 reduces per pair to EXACT SQL because every
-    entry is either ≥13 chars (len_ratio ≥1.5 vs ≤8-char corpus tokens →
-    hit ⟺ substring containment at scale 0.9) or ≤6 chars (len_ratio <1.5 →
-    ratio ≥90 over summed length <20 ⟺ equal, or |Δlen|=1 ∧ lev=1 ∧ Σlen≥10
-    — indel=1 ⟺ lev=1 when lengths differ by 1); the Levenshtein fallback
-    maps to DuckDB levenshtein() (byte-based, so lev-reachable entries must
-    be ASCII or differ in exactly one byte — asserted by the chosen lexicon).
-    ``suffix`` is appended to every text (both engines) to plant tokens that
-    exercise the lexicon branches."""
+def _stub_prob_prefix(n_docs: int, suffix: str = "") -> str:
+    """Shared WITH-clause prefix (CTEs ``d`` … ``pp``) replaying the engine's
+    tokenization + stub emission model in DuckDB: WORD_RE tokenization with
+    char offsets (runs of [\\p{L}\\p{N}-] trimmed to the first letter), then
+    md5 → 64-bit LCG → scaled noise + heuristic biases → softmax — one p0…p8
+    probability row per word. Consumed by BOTH the decision-log oracle (the
+    cascade reads these probs) and the crf_decode oracle (the Viterbi DP
+    reads them as emissions), so the two stay bit-identical by construction."""
     from x5_ner_spark.core.cascade import STOPWORDS, TYPE_HINTS
 
     hints = ", ".join(f"'{w}'" for w in sorted(TYPE_HINTS))
@@ -854,41 +867,7 @@ def _decision_log_sql(
     z = " + ".join(f"e{i}" for i in range(9))
     ps = ", ".join(f"e{i} / ({z}) AS p{i}" for i in range(9))
 
-    if lexicon:
-        in_lex_sql = "tok_lex IN (" + ", ".join(f"'{c}'" for c in sorted(lexicon)) + ")"
-        wr_terms, lev_terms = [], []
-        for c in sorted(lexicon):
-            lc = len(c)
-            lr = f"(GREATEST(length(tok_lex), {lc}) * 1.0 / LEAST(length(tok_lex), {lc}))"
-            contains = (f"(CASE WHEN length(tok_lex) <= {lc} "
-                        f"THEN position(tok_lex IN '{c}') ELSE position('{c}' IN tok_lex) END) > 0")
-            wr_terms.append(
-                f"(CASE WHEN {lr} >= 1.5 THEN ({lr} < 8 AND {contains}) "
-                f"ELSE (tok_lex = '{c}' OR (abs(length(tok_lex) - {lc}) = 1 "
-                f"AND levenshtein(tok_lex, '{c}') = 1 AND length(tok_lex) + {lc} >= 10)) END)"
-            )
-            lev_terms.append(
-                f"(abs(length(tok_lex) - {lc}) <= max_d AND levenshtein(tok_lex, '{c}') <= max_d)"
-            )
-        fuzzy_sql = (
-            f"(NOT ({in_lex_sql})) AND ("
-            f"(length(tok_lex) >= 3 AND (" + " OR ".join(wr_terms) + ")) OR ("
-            + " OR ".join(lev_terms) + "))"
-        )
-    else:
-        in_lex_sql, fuzzy_sql = "FALSE", "FALSE"
-
-    ladder = []
-    for t in (0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6, 0.55):
-        ts = repr(t * 1.3)  # Python double product, inlined bit-exactly
-        ladder.append(f"WHEN p_brand_sum >= {ts} OR p_brand > {t} THEN 'strong_brand_{t}'")
-        ladder.append(f"WHEN p_type_sum >= {ts} OR p_type > {t} THEN 'strong_type_{t}'")
-        ladder.append(f"WHEN p_o >= {t} THEN 'strong_o_{t}'")
-    ladder_sql = "\n            ".join(ladder)
-    et_plus = repr(0.55 + 0.10)  # entity_thresh + 0.10, Python double sum
-
-    return f"""
-        WITH d AS MATERIALIZED (SELECT doc_id, text || '{suffix}' AS text FROM documents WHERE doc_id < {n_docs}),
+    return f"""d AS MATERIALIZED (SELECT doc_id, text || '{suffix}' AS text FROM documents WHERE doc_id < {n_docs}),
         pieces AS MATERIALIZED (
           SELECT doc_id,
                  unnest(regexp_split_to_array(text, '[^\\p{{L}}\\p{{N}}-]')) AS piece,
@@ -928,7 +907,69 @@ def _decision_log_sql(
         uu AS MATERIALIZED (SELECT *, {us} FROM st9),
         lg AS MATERIALIZED (SELECT *, {logits} FROM uu),
         ee AS MATERIALIZED (SELECT *, {es} FROM lg),
-        pp AS MATERIALIZED (SELECT *, {ps} FROM ee),
+        pp AS MATERIALIZED (SELECT *, {ps} FROM ee)"""
+
+
+def _decision_log_sql(
+    n_docs: int = 200, lexicon: "list[str] | None" = None, suffix: str = "",
+) -> str:
+    """DuckDB replica of the FULL decision-log pipeline: the shared
+    tokenization + stub-model softmax prefix (_stub_prob_prefix), then the
+    cascade ladder/guards with the pinned short-word break and BIO
+    continuity via lag. Float-sensitive constants (t*1.3, 0.55+0.10) are
+    precomputed in Python and inlined as double literals so both engines
+    compare against bit-identical thresholds.
+
+    With ``lexicon`` the in_lex / fuzzy path is replayed too: in_lex is exact
+    lex-norm equality; WRatio≥90 reduces per pair to EXACT SQL because every
+    entry is either ≥13 chars (len_ratio ≥1.5 vs ≤8-char corpus tokens →
+    hit ⟺ substring containment at scale 0.9) or ≤6 chars (len_ratio <1.5 →
+    ratio ≥90 over summed length <20 ⟺ equal, or |Δlen|=1 ∧ lev=1 ∧ Σlen≥10
+    — indel=1 ⟺ lev=1 when lengths differ by 1); the Levenshtein fallback
+    maps to DuckDB levenshtein() (byte-based, so lev-reachable entries must
+    be ASCII or differ in exactly one byte — asserted by the chosen lexicon).
+    ``suffix`` is appended to every text (both engines) to plant tokens that
+    exercise the lexicon branches."""
+    from x5_ner_spark.core.cascade import STOPWORDS, TYPE_HINTS
+
+    hints = ", ".join(f"'{w}'" for w in sorted(TYPE_HINTS))
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+    if lexicon:
+        in_lex_sql = "tok_lex IN (" + ", ".join(f"'{c}'" for c in sorted(lexicon)) + ")"
+        wr_terms, lev_terms = [], []
+        for c in sorted(lexicon):
+            lc = len(c)
+            lr = f"(GREATEST(length(tok_lex), {lc}) * 1.0 / LEAST(length(tok_lex), {lc}))"
+            contains = (f"(CASE WHEN length(tok_lex) <= {lc} "
+                        f"THEN position(tok_lex IN '{c}') ELSE position('{c}' IN tok_lex) END) > 0")
+            wr_terms.append(
+                f"(CASE WHEN {lr} >= 1.5 THEN ({lr} < 8 AND {contains}) "
+                f"ELSE (tok_lex = '{c}' OR (abs(length(tok_lex) - {lc}) = 1 "
+                f"AND levenshtein(tok_lex, '{c}') = 1 AND length(tok_lex) + {lc} >= 10)) END)"
+            )
+            lev_terms.append(
+                f"(abs(length(tok_lex) - {lc}) <= max_d AND levenshtein(tok_lex, '{c}') <= max_d)"
+            )
+        fuzzy_sql = (
+            f"(NOT ({in_lex_sql})) AND ("
+            f"(length(tok_lex) >= 3 AND (" + " OR ".join(wr_terms) + ")) OR ("
+            + " OR ".join(lev_terms) + "))"
+        )
+    else:
+        in_lex_sql, fuzzy_sql = "FALSE", "FALSE"
+
+    ladder = []
+    for t in (0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6, 0.55):
+        ts = repr(t * 1.3)  # Python double product, inlined bit-exactly
+        ladder.append(f"WHEN p_brand_sum >= {ts} OR p_brand > {t} THEN 'strong_brand_{t}'")
+        ladder.append(f"WHEN p_type_sum >= {ts} OR p_type > {t} THEN 'strong_type_{t}'")
+        ladder.append(f"WHEN p_o >= {t} THEN 'strong_o_{t}'")
+    ladder_sql = "\n            ".join(ladder)
+    et_plus = repr(0.55 + 0.10)  # entity_thresh + 0.10, Python double sum
+
+    return f"""
+        WITH {_stub_prob_prefix(n_docs, suffix)},
         feats AS MATERIALIZED (
           SELECT doc_id, tok, start, "end", wid, norm,
                  GREATEST(p3, p4) AS p_brand, p3 + p4 AS p_brand_sum,
@@ -986,6 +1027,106 @@ def _decision_log_sql(
                ROUND(p_brand_sum, 3) AS p_brand_sum,
                ROUND(p_type_sum, 3) AS p_type_sum, ROUND(p_o, 3) AS p_o
         FROM labeled
+    """
+
+
+def _crf_decode_sql(n_docs: int = 120, t_max: int = 8) -> str:
+    """DuckDB replica of crf_decode_tokens: the shared tokenization + stub
+    softmax prefix gives per-word emission rows p0…p8; the Viterbi DP is
+    UNROLLED over ``t_max`` positions. Per step t: the 81 (prev,label) score
+    terms (s_prev + trans) + emission are MATERIALIZED as columns (w{t}),
+    then per label the max (GREATEST) and a first-max-wins argmax CASE give
+    score + backpointer (v{t}); docs shorter than t_max carry scores and
+    identity backpointers, exactly the masking viterbi_decode_batch does.
+    The end-transition argmax and the backtrack run as CHAINED CTEs (b7→b0):
+    lateral column aliases are substituted, not CSE'd — a nested backtrack
+    expression would blow up 9^8 (the decision_log LCG lesson). All CRF
+    parameters are Python floats inlined via repr(), so both engines compare
+    bit-identical doubles; sum order matches numpy's left-to-right
+    elementwise (score + trans) + emission."""
+    from x5_ner_spark.core.crf import stub_crf_params
+    from x5_ner_spark.core.spans import BIO_TAGS
+
+    start, trans, end = stub_crf_params()
+    c_n = len(BIO_TAGS)
+    T1 = t_max - 1
+
+    def first_max_case(terms: "list[str]") -> str:
+        cases = []
+        for p in range(len(terms) - 1):
+            cond = " AND ".join(
+                f"{terms[p]} >= {terms[q]}" for q in range(p + 1, len(terms))
+            )
+            cases.append(f"WHEN {cond} THEN {p}")
+        return "CASE " + " ".join(cases) + f" ELSE {len(terms) - 1} END"
+
+    # seed: s0_c = start[c] + p_c (numpy: start[None, :] + em[:, 0])
+    v0 = ", ".join(
+        f"({float(start[c])!r}) + p{c} AS s0_{c}" for c in range(c_n)
+    )
+    steps = ""
+    for t in range(1, t_max):
+        terms = ", ".join(
+            f"(v.s{t-1}_{p} + ({float(trans[p][c])!r})) + e.p{c} AS t_{p}_{c}"
+            for c in range(c_n)
+            for p in range(c_n)
+        )
+        steps += (
+            f", w{t} AS MATERIALIZED (SELECT v.*, e.doc_id IS NOT NULL AS act, "
+            f"{terms} FROM v{t-1} v LEFT JOIN emis e "
+            f"ON e.doc_id = v.doc_id AND e.wid = {t})"
+        )
+        carry = "".join(
+            f"bp{tau}_{c}, " for tau in range(1, t) for c in range(c_n)
+        )
+        new_cols = []
+        for c in range(c_n):
+            col_terms = [f"t_{p}_{c}" for p in range(c_n)]
+            g = "GREATEST(" + ", ".join(col_terms) + ")"
+            new_cols.append(f"CASE WHEN act THEN {g} ELSE s{t-1}_{c} END AS s{t}_{c}")
+            new_cols.append(
+                f"CASE WHEN act THEN ({first_max_case(col_terms)}) "
+                f"ELSE {c} END AS bp{t}_{c}"
+            )
+        steps += (
+            f", v{t} AS MATERIALIZED (SELECT doc_id, {carry}"
+            + ", ".join(new_cols)
+            + f" FROM w{t})"
+        )
+
+    fin = ", ".join(
+        f"s{T1}_{c} + ({float(end[c])!r}) AS f{c}" for c in range(c_n)
+    )
+    back = (
+        f", bt{T1} AS MATERIALIZED (SELECT *, "
+        + first_max_case([f"f{c}" for c in range(c_n)])
+        + f" AS b{T1} FROM fin)"
+    )
+    for t in range(T1, 0, -1):
+        walk = " ".join(f"WHEN {c} THEN bp{t}_{c}" for c in range(c_n))
+        back += (
+            f", bt{t-1} AS MATERIALIZED (SELECT *, "
+            f"CASE b{t} {walk} END AS b{t-1} FROM bt{t})"
+        )
+    pick_b = "CASE t.wid " + " ".join(
+        f"WHEN {t} THEN b{t}" for t in range(t_max)
+    ) + " END"
+    label = "CASE (" + pick_b + ") " + " ".join(
+        f"WHEN {i} THEN '{tag}'" for i, tag in enumerate(BIO_TAGS)
+    ) + " END"
+
+    return f"""
+        WITH {_stub_prob_prefix(n_docs)},
+        emis AS MATERIALIZED (
+          SELECT doc_id, wid, tok, {", ".join(f"p{c}" for c in range(c_n))}
+          FROM pp WHERE wid < {t_max}),
+        v0 AS MATERIALIZED (SELECT doc_id, {v0} FROM emis WHERE wid = 0)
+        {steps},
+        fin AS MATERIALIZED (SELECT *, {fin} FROM v{T1})
+        {back}
+        SELECT t.doc_id, CAST(t.wid AS INT) AS wid, t.tok AS token_text,
+               {label} AS label
+        FROM emis t JOIN bt0 USING (doc_id)
     """
 
 
@@ -1089,15 +1230,6 @@ def oracle_sql() -> dict[str, str]:
                            +(CASE WHEN tp+fn>0 THEN tp/(tp+fn) ELSE 0.0 END))
                      ELSE 0.0 END, 4) AS f1
         FROM c
-    """
-
-    sql["lead_prefix"] = """
-        WITH w AS (SELECT doc_id, text, lead(text) OVER (ORDER BY text, doc_id) AS next_text
-                   FROM documents)
-        SELECT COUNT(*) AS n_pairs,
-               CAST(SUM(CASE WHEN substr(text, 1, 3) = substr(next_text, 1, 3)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_matches
-        FROM w WHERE next_text IS NOT NULL
     """
 
     sql["sessionize"] = """
@@ -1616,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, ROUND(pr, 6) AS pagerank FROM pr5
     """
 
+    sql["crf_decode"] = _crf_decode_sql(120, t_max=8)
     sql["decision_log"] = _decision_log_sql(200)
     sql["decision_log_lex"] = _decision_log_sql(150, lexicon=DL_LEX, suffix=DL_SUFFIX)
 
@@ -1865,6 +1998,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'summary_stats', lang, 'avg_len', '', avg_len FROM s
         UNION ALL
         SELECT 'error_buckets', bucket, etype, '', CAST(n AS DOUBLE) FROM eb
+        UNION ALL
+        SELECT 'lead_prefix', '', sub, '', num FROM (
+          WITH w AS (SELECT doc_id, text,
+                            lead(text) OVER (ORDER BY text, doc_id) AS next_text
+                     FROM documents)
+          SELECT 'n_pairs' AS sub, CAST(COUNT(*) AS DOUBLE) AS num
+          FROM w WHERE next_text IS NOT NULL
+          UNION ALL
+          SELECT 'n_prefix_matches',
+                 CAST(SUM(CASE WHEN substr(text, 1, 3) = substr(next_text, 1, 3)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+          FROM w WHERE next_text IS NOT NULL)
     """
 
     return sql

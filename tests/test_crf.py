@@ -142,3 +142,46 @@ def test_crf_decode_udf_on_spark(spark):
     want = crf_mention_spans_batch(texts)
     for i, w in enumerate(want):
         assert got[i] == w, (i, got[i], w)
+
+
+def test_crf_decode_tokens_matches_driver_side(spark):
+    """crf_decode_tokens (the r7 driver-oracle query's operator): the
+    distributed bounded-window decode must reproduce a driver-side
+    per-document recompute exactly — tokenize, stub softmax emissions,
+    stub-CRF Viterbi — including the t_max truncation and empty-doc drop."""
+    from x5_ner_spark.core.crf import stub_crf_params, viterbi_decode
+    from x5_ner_spark.core.numeric import tokenize_with_offsets
+    from x5_ner_spark.core.spans import BIO_TAGS
+    from x5_ner_spark.core.stub_model import batch_probabilities
+    from x5_ner_spark.core.textnorm import norm_token_simple
+    from x5_ner_spark.operators.crf_train import crf_decode_tokens
+
+    texts = [
+        "молоко простоквашино 3,2% 1 л отличное свежее вкусное полезное",
+        "hello spark data batch engine",
+        "",
+        "сок",
+        "one two three four five six seven eight nine ten",  # > t_max words
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["wid"]): (r["token_text"], r["label"])
+        for r in crf_decode_tokens(df, t_max=8).collect()
+    }
+    start, trans, end = stub_crf_params()
+    want = {}
+    for did, t in enumerate(texts):
+        toks = tokenize_with_offsets(t)[:8]
+        if not toks:
+            continue
+        em = batch_probabilities(
+            [(norm_token_simple(w), i > 0) for i, (w, _, _) in enumerate(toks)]
+        )
+        path = viterbi_decode(em, start, trans, end)
+        for wid, ((w, _, _), lab) in enumerate(zip(toks, path)):
+            want[(did, wid)] = (w, BIO_TAGS[lab])
+    assert got == want
+    assert max(wid for _, wid in got) == 7  # the 10-word doc truncated at 8
+    assert not any(did == 2 for did, _ in got)  # empty doc emits nothing

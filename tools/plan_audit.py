@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump `.explain("formatted")` plans of the headline queries to
-BENCH/plans_r6.txt — the plan-discipline artifact: pushed filters, broadcast
+BENCH/plans_r7.txt — the plan-discipline artifact: pushed filters, broadcast
 joins, exchange counts, and WholeStageCodegen spans are auditable without
 re-running Spark. Re-generate after any operator change:
 
@@ -27,9 +27,9 @@ AUDIT = [
     "kg_mentions_by_pred", "filter_project", "join_agg", "tpch_q1",
     "jaccard_pairs", "minhash_buckets", "near_dup_clusters_lsh",
     "gopher_filters", "canonical_urls", "tfidf_top_terms", "mix_sample",
-    "scrub_pii", "decision_log", "asof_join", "sessionize", "ivf_topk",
-    "doc_stats", "corpus_report", "inverted_index", "pack_documents",
-    "components", "pagerank", "simhash", "decontaminate",
+    "scrub_pii", "decision_log", "crf_decode", "asof_join", "sessionize",
+    "ivf_topk", "doc_stats", "corpus_report", "inverted_index",
+    "pack_documents", "components", "pagerank", "simhash", "decontaminate",
 ]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -66,7 +66,7 @@ def main() -> None:
     # does not. (tests/test_plan_shapes.py pins under the same conf.)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     qs = entrymod.queries()
-    out_path = os.path.join(REPO, "BENCH", "plans_r6.txt")
+    out_path = os.path.join(REPO, "BENCH", "plans_r7.txt")
     with open(out_path, "w") as out:
         out.write("# .explain('formatted') of headline queries at %s\n" % SF_DIR)
         for name in AUDIT:
