@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.columns import portable_hash32
+from ..functions.columns import portable_hash32, simple_tokens_col
 from ..operators.dedup import MH_PRIME, _band_structs, _sh_expr, minhash_coeffs
 
 PAIR_SCHEMA = "id_a long, id_b long"
@@ -50,26 +50,24 @@ def minhash_signatures_stream(
     array is bound ONCE as a lambda variable (one-element-array trick, see
     dedup._sized_shingles) so the md5s are not re-evaluated per hash
     function."""
-    toks = F.split(F.lower(F.col("text")), r"\s+")
     hs_expr = F.transform(
         F.array_distinct(_sh_expr(k)), lambda s: portable_hash32(s)
     )
     coeffs = minhash_coeffs(n_hashes)
+
+    def _perm(a: int, b: int):
+        # bind (a, b) via a closure factory: pyspark derives HOF arity from
+        # the python signature, so default-arg binding (lambda x, a=a, b=b)
+        # reads as a 3-arg lambda and fails analysis, and a bare loop
+        # variable would late-bind (the candidates._minhash_cols lesson)
+        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(MH_PRIME))
+
     bound = F.element_at(
         F.transform(
             F.array(hs_expr),
             lambda hs: F.struct(
                 *[
-                    F.array_min(
-                        F.transform(
-                            hs,
-                            # bind (a, b) via default args: a 2-param HOF
-                            # lambda would receive the ARRAY INDEX as arg 2
-                            lambda x, a=a, b=b: F.pmod(
-                                x * F.lit(a) + F.lit(b), F.lit(MH_PRIME)
-                            ),
-                        )
-                    ).alias(f"mh{i}")
+                    F.array_min(F.transform(hs, _perm(a, b))).alias(f"mh{i}")
                     for i, (a, b) in enumerate(coeffs)
                 ]
             ),
@@ -77,8 +75,6 @@ def minhash_signatures_stream(
         1,
     )
     # same eligibility rule as batch _with_tokens: ≥ k tokens or no row
-    from ..functions.columns import simple_tokens_col
-
     toks = simple_tokens_col("text")
     return (
         docs.select("doc_id", toks.alias("toks"))
