@@ -246,7 +246,8 @@ def minhash_band_buckets(
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, k: int = 3, n_hashes: int = 8, band_size: int = 2
+    docs: DataFrame, k: int = 3, n_hashes: int = 8, band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one (band, bucket). The
     self-join runs per bucket (band index in the key — no skew pile-up, no
@@ -254,11 +255,30 @@ def minhash_candidate_pairs(
     branches read the ONE signature-aggregate exchange (ReusedExchange), so
     scan+shingling+hashing run once. This is the 100 TB candidate
     generator — candidate volume is O(Σ bucket²) instead of O(docs²),
-    tunable via n_hashes/band_size."""
+    tunable via n_hashes/band_size.
+
+    ``max_bucket``: the HUB-SKEW valve. A boilerplate/hub shingle shared by
+    a constant fraction of the corpus drags whole document groups into the
+    same band buckets, and a bucket of size m emits m² candidate pairs —
+    one hub in 25% of 10^12 docs is a 10^22-pair term. Buckets larger than
+    ``max_bucket`` are dropped BEFORE the self-join (standard LSH practice:
+    an over-full bucket carries no discriminative signal — membership means
+    "contains the hub", not "near-duplicate"; true near-dups still meet in
+    their other, selective bands). The hot-bucket list is tiny by
+    construction (≤ n_docs·n_bands / max_bucket entries) and broadcasts.
+    Off (None) by default: exact oracle semantics."""
     sig = minhash_signatures(docs, k, n_hashes)
     keyed = sig.select(
         "doc_id", F.explode(_band_structs(n_hashes, band_size)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        hot = (
+            keyed.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "bucket")
+        )
+        keyed = keyed.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a = keyed.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = keyed.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     return (
@@ -303,6 +323,7 @@ def jaccard_rescore(
 def near_dup_clusters_lsh(
     docs: DataFrame, k: int = 3, threshold: float = 0.5,
     n_hashes: int = 8, band_size: int = 2, quality_col: str = "n_chars",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The PRODUCTION corpus-dedup composition (VERDICT r2 #4): MinHash-LSH
     band buckets → candidate pairs → EXACT Jaccard rescore → connected
@@ -310,8 +331,11 @@ def near_dup_clusters_lsh(
     differs only where LSH recall misses a true pair (rescore is exact, so
     surviving pairs are always true near-dups — no false positives). At
     100 TB this is the default: the exact shared-shingle join's hot-shingle
-    quadratic term never materializes."""
-    cand = minhash_candidate_pairs(docs, k, n_hashes, band_size)
+    quadratic term never materializes. ``max_bucket`` (hub-skew valve, see
+    :func:`minhash_candidate_pairs`) should be ON at web scale — the
+    hub-skew stress run in BENCH/BASELINE.md round 7 is the measured
+    rationale."""
+    cand = minhash_candidate_pairs(docs, k, n_hashes, band_size, max_bucket)
     rescored = jaccard_rescore(docs, cand, k, threshold)
     return near_dup_clusters(docs, rescored, quality_col=quality_col)
 
