@@ -465,13 +465,17 @@ def _window_verdict(run_totals: list[float], load_start: list[float]) -> tuple[b
     """Noise gate for the published artifact (VERDICT r6 #2): BENCH_r06.json
     captured a neighbor-load window (run_totals 58.6/95.8/57.3, load→8.3)
     and misread as a 1.2–1.7× regression even though the JSON itself carried
-    the tells. Verdict is mechanical: a >1.5× spread across repeats or a
-    busy host at start (load_avg[0] > 1.0 before any JVM spins up) marks the
-    window loud."""
-    spread = max(run_totals) / min(run_totals) if min(run_totals) > 0 else float("inf")
+    the tells. Verdict is mechanical: a >1.5× spread across the WARM repeats
+    or a busy host at start (load_avg[0] > 1.0 before any JVM spins up)
+    marks the window loud. The cold run is excluded from the spread — its
+    codegen-compile/first-read inflation over warm runs is structural (and
+    separately visible in queries_cold), not window noise; r6's loud window
+    still trips this check on its warm runs alone (95.8/57.3 = 1.67)."""
+    warm = run_totals[1:] if len(run_totals) > 1 else run_totals
+    spread = max(warm) / min(warm) if min(warm) > 0 else float("inf")
     reasons = []
     if spread > 1.5:
-        reasons.append(f"run_totals spread {spread:.2f} > 1.5")
+        reasons.append(f"warm run_totals spread {spread:.2f} > 1.5")
     if load_start[0] > 1.0:
         reasons.append(f"load_avg_start {load_start[0]} > 1.0")
     return (not reasons), reasons
@@ -534,6 +538,12 @@ def main() -> None:
                 "reasons": window_reasons,
             }
         )
+        # let the 1-min load average decay before re-sampling it: the bench
+        # itself drives load to ~CPUS, so an immediate retry reads its OWN
+        # tail as "busy host" and publishes window_ok=false spuriously
+        # (observed on the first gated run: retry load_avg_start 13.2; a
+        # 1-min load of ~16 needs ~3 e-foldings ≈ 180 s to fall below 1.0)
+        time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_COOLDOWN_S", "180")))
     # cold/warm split (VERDICT r5 #5): the first run of a fresh JVM pays
     # ~1.3s/query of whole-stage-codegen compile that later runs don't
     # (codegen caches per-JVM by exact source; the repeats here share one

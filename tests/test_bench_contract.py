@@ -44,8 +44,10 @@ def _canned_runs():
 
 
 def _quiet_load(benchmod, monkeypatch):
-    # the gate reads the REAL host load; tests must not depend on it
+    # the gate reads the REAL host load; tests must not depend on it —
+    # and the retry cooldown (90s load-decay sleep) must not run in tests
     monkeypatch.setattr(benchmod.os, "getloadavg", lambda: (0.1, 0.1, 0.1))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RETRY_COOLDOWN_S", "0")
 
 
 def test_bench_json_contract(benchmod, monkeypatch, capsys):
