@@ -145,6 +145,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--control-docs", type=int, default=12_000)
     ap.add_argument("--skip-control", action="store_true")
+    # the production recall knob: more hash functions → more bands → a pair
+    # whose hub-dominated bands were capped still meets in a selective band
+    ap.add_argument("--n-hashes", type=int, default=8)
+    ap.add_argument("--band-size", type=int, default=2)
     args = ap.parse_args()
 
     from x5_ner_spark.operators.dedup import (
@@ -168,6 +172,8 @@ def main() -> None:
         "n_docs": args.docs,
         "hub_frac": args.hub_frac,
         "max_bucket": args.max_bucket,
+        "n_hashes": args.n_hashes,
+        "band_size": args.band_size,
         "cores": args.cores,
     }
 
@@ -178,7 +184,7 @@ def main() -> None:
     # PRE-cap bucket-size distribution: the skew, quantified (one pass over
     # the bucket table; persisted so bins and max share the computation)
     t0 = time.time()
-    bb = minhash_band_buckets(docs).persist()
+    bb = minhash_band_buckets(docs, n_hashes=args.n_hashes, band_size=args.band_size).persist()
     dist = (
         bb.selectExpr(
             "CASE WHEN n_docs <= 4 THEN '2-4' WHEN n_docs <= 64 THEN '5-64' "
@@ -198,13 +204,19 @@ def main() -> None:
 
     # capped candidate volume
     t0 = time.time()
-    n_cand = minhash_candidate_pairs(docs, max_bucket=args.max_bucket).count()
+    n_cand = minhash_candidate_pairs(
+        docs, n_hashes=args.n_hashes, band_size=args.band_size,
+        max_bucket=args.max_bucket,
+    ).count()
     out["capped_candidates"] = n_cand
     out["capped_candidates_sec"] = round(time.time() - t0, 1)
 
     # the full production path, valve ON
     t0 = time.time()
-    clusters = near_dup_clusters_lsh(docs, max_bucket=args.max_bucket)
+    clusters = near_dup_clusters_lsh(
+        docs, n_hashes=args.n_hashes, band_size=args.band_size,
+        max_bucket=args.max_bucket,
+    )
     clusters.write.mode("overwrite").format("noop").save()
     wall = time.time() - t0
     out["clusters_wall_sec"] = round(wall, 1)
