@@ -132,3 +132,41 @@ def test_bucket_state_cap_bounds_membership():
     # nor paired; the re-seen 2 is ignored
     assert pairs == [(1, 2), (1, 3), (2, 3)]
     assert list(state.get[0]) == [1, 2, 3]
+
+
+def test_stream_rescored_edges_equal_batch(spark, corpus_path):
+    """Full incremental edge stream: candidates from the stateful
+    accumulator, exact-rescored via a stream-static join against the corpus
+    shingle sets — accumulated edges equal the batch
+    candidate→jaccard_rescore composition (values included)."""
+    from x5_ner_spark.operators.dedup import jaccard_rescore
+
+    batch_docs = spark.read.parquet(corpus_path)
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_rescore(
+            batch_docs, minhash_candidate_pairs(batch_docs), k=3, threshold=0.5
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus_path)
+    )
+    edges = stream_dedup.near_dup_edges_stream(stream, batch_docs)
+    q = (
+        edges.writeStream.format("memory").queryName("t_edges_stream")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("t_edges_stream").collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert got == want and len(want) > 0
+    # multi-band duplicate emissions carry identical jaccard values
+    from collections import defaultdict
+
+    vals = defaultdict(set)
+    for r in rows:
+        vals[(r["id_a"], r["id_b"])].add(r["jaccard"])
+    assert all(len(v) == 1 for v in vals.values())

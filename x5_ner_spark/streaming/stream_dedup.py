@@ -136,3 +136,49 @@ def candidate_pairs_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def near_dup_edges_stream(
+    docs: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """The full incremental near-dup EDGE stream: candidate pairs from the
+    stateful bucket accumulator, exact-Jaccard rescored by a STREAM-STATIC
+    join against the (batch) corpus's per-doc shingle sets — the same
+    arrays and rounding as the batch ``jaccard_rescore``, so surviving
+    edges are true near-dups (no false positives), emitted as they form.
+
+    ``corpus`` is the static side (the docs table the stream is drawn
+    from, or a snapshot): Spark plans stream-static joins without state,
+    re-reading only the matching static partitions per micro-batch. At
+    production scale the static side is the growing Iceberg table — each
+    micro-batch rescores only its few candidate pairs against two
+    doc_id-keyed lookups. Multi-band duplicate emissions are deduped by
+    the pairwise max (a pair rescores to the same jaccard in every band);
+    downstream CC consumes edges idempotently anyway."""
+    from ..operators.dedup import shingle_sets
+
+    pairs = candidate_pairs_stream(docs, k, n_hashes, band_size, max_bucket)
+    sh = shingle_sets(corpus, k)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
