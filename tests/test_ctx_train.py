@@ -1,0 +1,118 @@
+"""Head-probe training for the contextual transformer (N4 extended, r7):
+frozen-encoder feature table (one forward pass) + distributed softmax-CE
+GD on the head. Gradients numerically checked; loss descends; the trained
+checkpoint serves through provider_for and agrees better with the teacher
+than the random head."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from x5_ner_spark.core.ctx_transformer import (
+    CtxTransformerProvider,
+    write_ctx_checkpoint,
+)
+from x5_ner_spark.operators.ctx_train import (
+    ctx_feature_table,
+    fit_ctx_head,
+    softmax_head_loss_and_grads,
+)
+
+VOCAB = [
+    "моло", "##ко", "кефир", "сан", "санта", "##та", "вода",
+    "greenfield", "чай", "##й", "ча", "сок", "хлеб", "сыр",
+]
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    p = tmp_path_factory.mktemp("ctxtrain") / "ctx.npz"
+    return write_ctx_checkpoint(str(p), VOCAB, max_len=160)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    texts = [
+        "молоко кефир вода", "санта вода greenfield", "кефир чай сок",
+        "хлеб сыр молоко", "greenfield чай санта", "вода сок кефир молоко",
+    ] * 5
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_head_gradients_match_finite_differences():
+    rng = np.random.RandomState(3)
+    f = rng.randn(7, 5)
+    y = rng.randint(0, 9, size=7)
+    w = rng.randn(5, 9) * 0.1
+    b = rng.randn(9) * 0.1
+    loss, gw, gb = softmax_head_loss_and_grads(f, y, w, b)
+    eps = 1e-6
+    for idx in [(0, 0), (2, 5), (4, 8)]:
+        wp = w.copy(); wp[idx] += eps
+        wm = w.copy(); wm[idx] -= eps
+        lp, _, _ = softmax_head_loss_and_grads(f, y, wp, b)
+        lm, _, _ = softmax_head_loss_and_grads(f, y, wm, b)
+        assert abs((lp - lm) / (2 * eps) - gw[idx]) < 1e-5
+    for j in (0, 8):
+        bp = b.copy(); bp[j] += eps
+        bm = b.copy(); bm[j] -= eps
+        lp, _, _ = softmax_head_loss_and_grads(f, y, w, bp)
+        lm, _, _ = softmax_head_loss_and_grads(f, y, w, bm)
+        assert abs((lp - lm) / (2 * eps) - gb[j]) < 1e-5
+
+
+def test_feature_table_shape_and_teacher_labels(spark, ckpt, docs):
+    rows = ctx_feature_table(docs, ckpt).collect()
+    assert len(rows) > 0
+    d = CtxTransformerProvider(ckpt).emb.shape[1]
+    assert all(len(r["feat"]) == d for r in rows)
+    assert all(0 <= r["label"] < 9 for r in rows)
+
+
+def test_fit_descends_and_improves_teacher_agreement(spark, ckpt, docs, tmp_path):
+    from x5_ner_spark.core.stub_model import batch_probabilities
+    from x5_ner_spark.core.textnorm import norm_token_simple
+
+    feats = ctx_feature_table(docs, ckpt)
+    hist: list = []
+    out = fit_ctx_head(
+        feats, ckpt, str(tmp_path / "trained.npz"), iters=60, lr=1.0,
+        loss_history=hist,
+    )
+    assert hist[-1] < hist[0] * 0.8, hist[:3] + hist[-3:]
+
+    # the trained checkpoint dispatches and serves like any ctx checkpoint
+    from x5_ner_spark.core.emission import provider_for
+
+    trained = provider_for(out)
+    assert isinstance(trained, CtxTransformerProvider)
+    base = CtxTransformerProvider(ckpt)
+    # encoder untouched: features identical, only the head moved
+    t0 = "молоко кефир вода"
+    assert (
+        base.word_features_for_texts([t0]) == trained.word_features_for_texts([t0])
+    )
+    assert not np.array_equal(base.head_w, trained.head_w)
+
+    # teacher agreement of argmax word probs: trained > untrained
+    texts = [r["text"] for r in docs.collect()]
+    def agreement(prov):
+        hit = tot = 0
+        for t in texts:
+            spans, probs = prov.word_probs_for_texts([t])[0]
+            keys = [
+                (norm_token_simple(t[ws:we]), i > 0)
+                for i, (ws, we) in enumerate(spans)
+            ]
+            teach = batch_probabilities(keys).argmax(axis=1)
+            for p, y in zip(probs, teach):
+                hit += int(np.argmax(p) == y)
+                tot += 1
+        return hit / tot
+
+    a_base, a_trained = agreement(base), agreement(trained)
+    assert a_trained > a_base, (a_base, a_trained)
+    assert a_trained >= 0.6, a_trained

@@ -152,12 +152,13 @@ class CtxTransformerProvider:
             pass
 
     # --------------------------------------------------------------- forward
-    def _forward_piece_probs(
+    def _forward_piece_feats(
         self, ids: list[int], conts: list[bool]
     ) -> np.ndarray:
-        """Softmax rows for the content pieces of ONE sequence. The sequence
-        is <s> + pieces + </s> (specials occupy positions like HF); returns
-        (len(ids), 9) — the rows for the content positions only."""
+        """Post-final-LN hidden rows for the content pieces of ONE sequence
+        — the frozen-encoder features the head (and the head probe trainer,
+        operators/ctx_train.py) consume. The sequence is <s> + pieces +
+        </s> (specials occupy positions like HF); returns (len(ids), d)."""
         seq = [self.bos_id] + ids + [self.eos_id]
         t = len(seq)
         x = self.emb[seq] + self.pos[:t]
@@ -187,10 +188,41 @@ class CtxTransformerProvider:
             h = np.maximum(m_in @ blk["fw1"] + blk["fb1"], 0.0)
             x = x + h @ blk["fw2"] + blk["fb2"]
         x = _layer_norm(x, self.lnf_g, self.lnf_b)
-        logits = x[1:-1] @ self.head_w + self.head_b
+        return x[1:-1]
+
+    def _forward_piece_probs(
+        self, ids: list[int], conts: list[bool]
+    ) -> np.ndarray:
+        """Softmax head over :meth:`_forward_piece_feats` — (len(ids), 9)."""
+        logits = self._forward_piece_feats(ids, conts) @ self.head_w + self.head_b
         m = logits.max(axis=1, keepdims=True)
         e = np.exp(logits - m)
         return e / e.sum(axis=1, keepdims=True)
+
+    def word_features_for_texts(
+        self, texts: list[str]
+    ) -> list[tuple[list[tuple[int, int]], list[tuple[float, ...]]]]:
+        """Per text: (covered word spans, per-word FEATURE tuples) — the
+        mean of covered pieces' post-final-LN rows, i.e. the frozen-encoder
+        representation the head probe trains on. Uncached (training-side
+        one-pass surface; the text cache stays a probability cache)."""
+        out = []
+        for t in texts:
+            enc = self.tokenizer.encode_text(t, self.max_len)
+            ids = [p for _, _, ps in enc for p, _ in ps]
+            conts = [c for _, _, ps in enc for _, c in ps]
+            spans: list[tuple[int, int]] = []
+            feats: list[tuple[float, ...]] = []
+            if ids:
+                rows = self._forward_piece_feats(ids, conts)
+                at = 0
+                for ws, we, ps in enc:
+                    chunk = rows[at : at + len(ps)]
+                    at += len(ps)
+                    spans.append((ws, we))
+                    feats.append(tuple(float(x) for x in chunk.mean(axis=0)))
+            out.append((spans, feats))
+        return out
 
     def word_probs_for_texts(
         self, texts: list[str]
