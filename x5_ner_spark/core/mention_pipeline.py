@@ -173,13 +173,21 @@ def crf_mention_spans_batch(
     texts: list[str],
     crf_params=None,
     max_words_per_microbatch: int = 8192,
+    provider=None,
 ) -> list[list[Span]]:
     """Flag-gated CRF decode path (N1 variant): per-word EMISSIONS (raw
     logits) → batched Viterbi over a deterministic (or checkpoint-loaded)
     transition matrix → BIO labels → postprocess. The reference computes
     this path and then discards it during inference (infer.py:189 dead
     assignment) — hence a separate opt-in function, not the default. Word
-    segmentation and micro-batching match final_mention_spans_batch."""
+    segmentation and micro-batching match final_mention_spans_batch.
+
+    ``provider`` composes the checkpoint swap point with Viterbi (VERDICT r7
+    #6): emissions become the LOG of the provider's per-word probability
+    rows — the emission log-likelihood term of the standard linear-chain
+    score. A ``seq_level`` provider (subword/ctx/chunked) also owns word
+    segmentation + truncation, exactly as on the cascade path. None = the
+    pinned stub's raw logits (unchanged historical behavior)."""
     import numpy as np
 
     from .crf import stub_crf_params, viterbi_decode_batch
@@ -187,6 +195,30 @@ def crf_mention_spans_batch(
     from .stub_model import batch_logits
 
     start, trans, end = crf_params if crf_params is not None else stub_crf_params()
+
+    if provider is not None and getattr(provider, "seq_level", False):
+        per_doc = provider.word_probs_for_texts(
+            ["" if not t else t for t in texts]
+        )
+        seq_seqs = []
+        seq_words: list[list[tuple[int, int]] | None] = []
+        for t, (wspans, probs) in zip(texts, per_doc):
+            if not t or not t.strip() or not wspans:
+                seq_words.append(None)
+                continue
+            seq_words.append(wspans)
+            seq_seqs.append(np.log(np.clip(np.array(probs), 1e-12, None)))
+        paths_seq = viterbi_decode_batch(seq_seqs, start, trans, end)
+        it_seq = iter(paths_seq)
+        out_seq: list[list[Span]] = []
+        for t, words in zip(texts, seq_words):
+            if words is None:
+                out_seq.append([])
+                continue
+            labels = [BIO_TAGS[i] for i in next(it_seq)]
+            raw = [(ws, we, lab) for (ws, we), lab in zip(words, labels)]
+            out_seq.append(postprocess(t, raw) if raw else [])
+        return out_seq
 
     words_per_text: list[list[tuple[int, int]] | None] = []
     keys_per_text: list[list[tuple[str, bool]] | None] = []
@@ -202,11 +234,18 @@ def crf_mention_spans_batch(
         keys_per_text.append(tkeys)
         keys.extend(tkeys)
 
+    if provider is None:
+        compute = batch_logits
+    else:
+        # word-level checkpoint provider: log-probability emissions
+        compute = lambda ch: np.log(
+            np.clip(np.asarray(provider.batch_probabilities(ch)), 1e-12, None)
+        )
     uniq = list(dict.fromkeys(keys))
     emis: dict[tuple[str, bool], "np.ndarray"] = {}
     for lo in range(0, len(uniq), max_words_per_microbatch):
         chunk = uniq[lo : lo + max_words_per_microbatch]
-        mat = batch_logits(chunk)
+        mat = compute(chunk)
         for k, row in zip(chunk, mat):
             emis[k] = row
 

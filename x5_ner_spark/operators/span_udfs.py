@@ -83,7 +83,8 @@ def numeric_spans_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 def make_mentions_udf(
     brand_lexicon=frozenset(), *, postprocessed: bool = True, decode: str = "cascade",
-    emission_npz: str | None = None,
+    emission_npz: str | None = None, long_doc: str = "truncate",
+    chunk_stride: int | None = None,
 ):
     """Mention-detection UDF factory. ``brand_lexicon`` may be a frozenset or
     a ``sparkContext.broadcast`` handle (unwrapped lazily on the executor).
@@ -96,8 +97,15 @@ def make_mentions_udf(
     ``emission_npz`` swaps the emission model for a weights-on-disk numpy
     checkpoint (core/emission.py), loaded ONCE per Python worker process via
     ``provider_for`` — the engine's analog of the reference's checkpoint load
-    (infer.py:141-147). Only the batched (default) path honors it; the
-    cascade above is provider-agnostic. None = the pinned stub.
+    (infer.py:141-147). Honored by the batched cascade (default) AND the CRF
+    path (emissions = log of the provider's per-word probability rows);
+    None = the pinned stub.
+
+    ``long_doc='windowed'`` lifts the sequence-level providers' max_len
+    truncation (ref infer.py:165-171) via chunked inference — overlapping
+    ``chunk_stride``-piece windows with most-interior overlap resolution
+    (core/chunked.py). 'truncate' (default) is the reference's pinned
+    behavior; word-level providers are unaffected by either.
 
     The heavy state (sorted lexicon list) is materialized ONCE per Python
     worker per partition via the iterator form — the Spark analog of the
@@ -112,12 +120,17 @@ def make_mentions_udf(
         lex_list = sorted(lex)
         provider = None
         if emission_npz is not None:
+            from ..core.chunked import maybe_chunked
             from ..core.emission import provider_for
 
-            provider = provider_for(emission_npz)
+            provider = maybe_chunked(
+                provider_for(emission_npz), long_doc, chunk_stride
+            )
         for batch in texts:
             if decode == "crf":
-                spans = crf_mention_spans_batch(["" if t is None else t for t in batch])
+                spans = crf_mention_spans_batch(
+                    ["" if t is None else t for t in batch], provider=provider
+                )
                 yield pd.Series([_spans_to_rows(s) for s in spans])
             elif postprocessed:
                 # batched N3 shape: one vectorized model call per micro-batch

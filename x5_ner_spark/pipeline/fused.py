@@ -32,6 +32,8 @@ def fused_triples(
     balance: bool = False,
     num_partitions: int | None = None,
     emission_npz: str | None = None,
+    long_doc: str = "truncate",
+    chunk_stride: int | None = None,
 ) -> DataFrame:
     """pages(url, html, text, ...) → (subj, pred, obj, url).
 
@@ -46,7 +48,13 @@ def fused_triples(
 
     ``emission_npz``: optional weights-on-disk emission checkpoint
     (core/emission.py), loaded once per worker process — the production
-    swap point for a real model inside this same fused stage."""
+    swap point for a real model inside this same fused stage.
+
+    ``long_doc='windowed'``: chunked inference over stride-overlapped
+    max_len-piece windows for sequence-level checkpoints (core/chunked.py)
+    — full web pages get analyzed past the reference's 160-piece truncation
+    (ref infer.py:165-171; VERDICT r7 #1). Default 'truncate' = pinned
+    reference behavior."""
     cols = pages.select(
         "url",
         "html" if "html" in pages.columns else F.lit(None).cast("binary").alias("html"),
@@ -65,9 +73,12 @@ def fused_triples(
         lex_list = sorted(lex)
         provider = None
         if emission_npz is not None:
+            from ..core.chunked import maybe_chunked
             from ..core.emission import provider_for
 
-            provider = provider_for(emission_npz)
+            provider = maybe_chunked(
+                provider_for(emission_npz), long_doc, chunk_stride
+            )
         for pdf in batches:
             urls, docs = [], []
             for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
@@ -108,6 +119,8 @@ def fused_triples_and_log(
     balance: bool = False,
     num_partitions: int | None = None,
     emission_npz: str | None = None,
+    long_doc: str = "truncate",
+    chunk_stride: int | None = None,
 ) -> DataFrame:
     """pages → UNION of triple rows (rec_type='triple') and per-word
     decision-log rows (rec_type='log'), from ONE inference pass: the batch
@@ -139,9 +152,12 @@ def fused_triples_and_log(
         lex_list = sorted(lex)
         provider = None
         if emission_npz is not None:
+            from ..core.chunked import maybe_chunked
             from ..core.emission import provider_for
 
-            provider = provider_for(emission_npz)
+            provider = maybe_chunked(
+                provider_for(emission_npz), long_doc, chunk_stride
+            )
         for pdf in batches:
             urls, docs = [], []
             for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
