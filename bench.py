@@ -261,8 +261,84 @@ def run_headline(master: str, include_pipeline: bool = True) -> dict:
         times["kg_linear_ctx"] = round(dt, 3)
         total += dt
         extras["linear_ctx_docs_per_sec"] = round(PIPELINE_PAGES / dt, 1)
+
+        # LONG documents through WINDOWED contextual inference (VERDICT r7
+        # #1): pages big enough to span several 160-piece windows, every
+        # word analyzed (long_doc='windowed', core/chunked.py) — the
+        # production web-page shape the truncating legs above cannot
+        # represent. Fewer pages, ~40 sentences each: total piece volume is
+        # comparable to the kg_linear_ctx leg, so this leg times the
+        # windowing machinery, not just more input.
+        pages_long = _pages_from_parquet(
+            spark, LONGDOC_PAGES, sentences=LONGDOC_SENTENCES, partitions=int(CPUS)
+        )
+        t0 = time.time()
+        _noop_write(
+            fused.fused_triples(pages_long, emission_npz=ctx, long_doc="windowed")
+        )
+        dt = time.time() - t0
+        times["kg_linear_ctx_full"] = round(dt, 3)
+        total += dt
+        extras["linear_ctx_full_docs_per_sec"] = round(LONGDOC_PAGES / dt, 1)
     spark.stop()
     return {"total_sec": round(total, 3), "queries": times, **extras}
+
+
+LONGDOC_PAGES = int(os.environ.get("SPARK_GRAFT_LONGDOC_PAGES", "2000"))
+LONGDOC_SENTENCES = int(os.environ.get("SPARK_GRAFT_LONGDOC_SENTENCES", "40"))
+
+
+def run_longdoc_curve() -> list[dict]:
+    """--longdoc-curve: cost-vs-document-length for contextual inference
+    (VERDICT r7 #1 deliverable). Total sentence volume is held constant
+    while per-document length grows, for BOTH long_doc modes: 'truncate'
+    (the reference's pinned behavior — cost saturates once a document
+    exceeds one window, because everything past it is simply not analyzed)
+    and 'windowed' (full coverage — cost stays ~linear in total volume).
+    The gap between the curves is the price of actually reading whole web
+    pages. One JSON line per point; results recorded in BENCH/BASELINE.md."""
+    from x5_ner_spark.core.emission import provider_for
+    from x5_ner_spark.core.numeric import tokenize_with_offsets
+    from x5_ner_spark.pipeline import fused
+    from x5_ner_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="x5-longdoc-curve")
+    ctx = _ctx_ckpt()
+    # constant total volume: n_pages × sentences = 80k sentences per point
+    combos = [(20000, 4), (8000, 10), (4000, 20), (2000, 40), (1000, 80)]
+    # warm JVM + python workers once (same reasoning as run_headline)
+    _noop_write(
+        fused.fused_triples(_pages_from_parquet(spark, 500, 4, 8), emission_npz=ctx)
+    )
+    results = []
+    for n, sents in combos:
+        pages = _pages_from_parquet(spark, n, sentences=sents, partitions=int(CPUS))
+        # mean piece count per doc (off the clock): the curve's real x-axis
+        prov = provider_for(ctx)
+        sample = [r["text"] for r in pages.limit(100).collect()]
+        pieces = [
+            sum(
+                len(prov.tokenizer.word_pieces(t[s:e]))
+                for _, s, e in tokenize_with_offsets(t)
+            )
+            for t in sample
+        ]
+        row = {
+            "n_pages": n,
+            "sentences": sents,
+            "pieces_per_doc_mean": round(sum(pieces) / len(pieces), 1),
+        }
+        for mode in ("truncate", "windowed"):
+            t0 = time.time()
+            _noop_write(fused.fused_triples(pages, emission_npz=ctx, long_doc=mode))
+            dt = time.time() - t0
+            row[f"{mode}_sec"] = round(dt, 3)
+            row[f"{mode}_docs_per_sec"] = round(n / dt, 1)
+            row[f"{mode}_sents_per_sec"] = round(n * sents / dt, 1)
+        results.append(row)
+        print(json.dumps(row))
+    spark.stop()
+    return results
 
 
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "240000"))
@@ -461,6 +537,44 @@ def run_scaling() -> dict:
     }
 
 
+def _load_quiet_floor() -> dict:
+    """Standing per-query quiet-window values (VERDICT r7 #2): the floor a
+    published per-query min is compared against. Source file is the last
+    certified quiet artifact's ``queries`` map (BENCH/quiet_floor.json,
+    overridable via SPARK_GRAFT_BENCH_FLOOR); update it when a new
+    quiet-window run supersedes the standing numbers. Missing file or a
+    query absent from it simply isn't floor-checked."""
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FLOOR", os.path.join(REPO, "BENCH", "quiet_floor.json")
+    )
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return data.get("queries", data)
+
+
+def _suspect_queries(queries: dict, floor: dict) -> dict:
+    """Per-query noise flag (VERDICT r7 #2): BENCH_r07 was window_ok=true
+    while a mid-invocation burst put kg_linear at 2.28× its quiet value —
+    the run-level gate samples load only at attempt start, so a burst that
+    hits both warm repeats equally passes the spread check. Any published
+    per-query min > 1.5× the standing quiet floor is flagged here (and
+    trips one retry), so the artifact can never self-certify a polluted
+    per-query number silently."""
+    out = {}
+    for name, t in queries.items():
+        fl = floor.get(name)
+        if fl and t > 1.5 * fl:
+            out[name] = {
+                "sec": t,
+                "quiet_floor_sec": fl,
+                "ratio": round(t / fl, 2),
+            }
+    return out
+
+
 def _window_verdict(run_totals: list[float], load_start: list[float]) -> tuple[bool, list[str]]:
     """Noise gate for the published artifact (VERDICT r6 #2): BENCH_r06.json
     captured a neighbor-load window (run_totals 58.6/95.8/57.3, load→8.3)
@@ -486,10 +600,15 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-child", type=int, default=None)
     ap.add_argument("--no-pipeline", action="store_true")
+    ap.add_argument("--longdoc-curve", action="store_true")
     args = ap.parse_args()
 
     if args.scaling_child:
         scaling_child(args.scaling_child)
+        return
+
+    if args.longdoc_curve:
+        run_longdoc_curve()
         return
 
     if args.scaling:
@@ -519,23 +638,41 @@ def main() -> None:
     # artifact adjudicates itself.
     retries = int(os.environ.get("SPARK_GRAFT_BENCH_WINDOW_RETRIES", "1"))
     rejected_windows: list[dict] = []
+    floor = _load_quiet_floor()
     for attempt in range(retries + 1):
-        load_start = [round(x, 2) for x in os.getloadavg()]
-        runs = [
-            run_headline(f"local[{CPUS}]", include_pipeline=not args.no_pipeline)
-            for _ in range(repeats)
-        ]
+        # per-RUN load stamps (VERDICT r7 #2): the r7 artifact sampled load
+        # only at attempt start, so a burst arriving between runs 1 and 2
+        # polluted per-query minima invisibly — now every run records the
+        # load it started under, auditable per run in the artifact
+        run_loads: list[list[float]] = []
+        runs = []
+        for _ in range(repeats):
+            run_loads.append([round(x, 2) for x in os.getloadavg()])
+            runs.append(
+                run_headline(f"local[{CPUS}]", include_pipeline=not args.no_pipeline)
+            )
+        load_start = run_loads[0]
         load_end = [round(x, 2) for x in os.getloadavg()]
         run_totals = [r["total_sec"] for r in runs]
         window_ok, window_reasons = _window_verdict(run_totals, load_start)
-        if window_ok or attempt == retries:
+        warm_attempt = runs[1:] if len(runs) > 1 else runs
+        suspects = _suspect_queries(
+            {
+                name: min(r["queries"][name] for r in warm_attempt)
+                for name in runs[0]["queries"]
+            },
+            floor,
+        )
+        if (window_ok and not suspects) or attempt == retries:
             break
         rejected_windows.append(
             {
                 "run_totals_sec": run_totals,
                 "load_avg_start": load_start,
                 "load_avg_end": load_end,
+                "load_avg_per_run": run_loads,
                 "reasons": window_reasons,
+                "suspect_queries": suspects,
             }
         )
         # let the 1-min load average decay before re-sampling it: the bench
@@ -573,8 +710,10 @@ def main() -> None:
         "run_totals_sec": run_totals,
         "load_avg_start": load_start,
         "load_avg_end": load_end,
+        "load_avg_per_run": run_loads,
         "window_ok": window_ok,
         "window_reasons": window_reasons,
+        "suspect_queries": _suspect_queries(queries, floor),
         "rejected_windows": rejected_windows,
     }
     for k in (

@@ -48,6 +48,10 @@ def _quiet_load(benchmod, monkeypatch):
     # and the retry cooldown (90s load-decay sleep) must not run in tests
     monkeypatch.setattr(benchmod.os, "getloadavg", lambda: (0.1, 0.1, 0.1))
     monkeypatch.setenv("SPARK_GRAFT_BENCH_RETRY_COOLDOWN_S", "0")
+    # ...nor on the repo's REAL standing quiet floor (canned run times would
+    # trip the r8 suspect gate against it); floor-specific tests set their own
+    if "SPARK_GRAFT_BENCH_FLOOR" not in os.environ:
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_FLOOR", "/nonexistent/floor.json")
 
 
 def test_bench_json_contract(benchmod, monkeypatch, capsys):
@@ -149,3 +153,74 @@ def test_headline_queries_exist_in_registry(benchmod):
     qs = entrymod.queries()
     missing = [n for n in benchmod.HEADLINE if n not in qs]
     assert not missing, f"bench names not in queries(): {missing}"
+
+
+def test_bench_per_run_load_stamps(benchmod, monkeypatch, capsys):
+    """VERDICT r7 #2: every run stamps the load it started under — the r7
+    artifact sampled load only at attempt start, so a burst between warm
+    runs polluted per-query minima invisibly."""
+    runs = _canned_runs()
+    monkeypatch.setattr(benchmod, "run_headline", lambda *a, **k: runs.pop(0))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "3")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    _quiet_load(benchmod, monkeypatch)
+    benchmod.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][0]
+    out = json.loads(line)
+    assert len(out["load_avg_per_run"]) == 3
+    assert all(len(triple) == 3 for triple in out["load_avg_per_run"])
+    # first run's stamp doubles as the attempt-level start stamp
+    assert out["load_avg_start"] == out["load_avg_per_run"][0]
+
+
+def test_bench_suspect_queries_flagged_and_retried(
+    benchmod, monkeypatch, capsys, tmp_path
+):
+    """VERDICT r7 #2: a per-query min > 1.5x the standing quiet floor is a
+    suspect even when the run-level window gate passes (equal pollution of
+    both warm runs defeats the spread check). One retry fires; if the
+    suspect persists, the artifact publishes it honestly."""
+    floor = tmp_path / "floor.json"
+    floor.write_text(json.dumps({"queries": {"q_fast": 1.0, "q_slow": 4.0}}))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FLOOR", str(floor))
+    # q_fast polluted to 2.2x floor in BOTH warm runs of BOTH attempts;
+    # totals are flat, so the legacy window gate sees nothing
+    mk = lambda f, s: {"total_sec": round(f + s, 3), "queries": {"q_fast": f, "q_slow": s}}
+    seq = [mk(2.3, 4.0), mk(2.2, 4.0), mk(2.25, 4.1)] * 2
+    monkeypatch.setattr(benchmod, "run_headline", lambda *a, **k: seq.pop(0))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "3")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    _quiet_load(benchmod, monkeypatch)
+    benchmod.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][0]
+    out = json.loads(line)
+    assert out["window_ok"] is True  # run-level gate: genuinely quiet window
+    assert list(out["suspect_queries"]) == ["q_fast"]
+    sq = out["suspect_queries"]["q_fast"]
+    assert sq["sec"] == 2.2 and sq["quiet_floor_sec"] == 1.0 and sq["ratio"] == 2.2
+    # the retry fired and recorded its own suspect trail
+    (rej,) = out["rejected_windows"]
+    assert "q_fast" in rej["suspect_queries"] and len(rej["load_avg_per_run"]) == 3
+    # q_slow sits at its floor — not flagged
+    assert "q_slow" not in out["suspect_queries"]
+
+
+def test_bench_no_floor_file_means_no_suspects(benchmod, monkeypatch, capsys, tmp_path):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FLOOR", str(tmp_path / "absent.json"))
+    runs = _canned_runs()
+    monkeypatch.setattr(benchmod, "run_headline", lambda *a, **k: runs.pop(0))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPEATS", "3")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    _quiet_load(benchmod, monkeypatch)
+    benchmod.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][0]
+    out = json.loads(line)
+    assert out["suspect_queries"] == {} and out["rejected_windows"] == []
+
+
+def test_bench_repo_floor_file_is_wellformed(benchmod):
+    """The checked-in standing floor must load and cover the headline set."""
+    floor = benchmod._load_quiet_floor()
+    assert floor, "BENCH/quiet_floor.json missing or empty"
+    assert all(isinstance(v, (int, float)) and v > 0 for v in floor.values())
+    assert set(benchmod.HEADLINE) <= set(floor)
