@@ -99,23 +99,36 @@ def test_stream_candidate_pairs_accumulate_to_batch(spark, corpus_path):
     assert max(dupes.values()) <= 4  # n_hashes=8 / band_size=2 bands
 
 
+class FakeState:
+    """Driver-side stand-in for GroupState: the update-fn unit tests below
+    exercise cap, TTL re-arm, and eviction without a streaming query."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+        self.timeout_durations: list[int] = []
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self._v = None
+        self.exists = False
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_durations.append(ms)
+
+
 def test_bucket_state_cap_bounds_membership():
-    """A bucket past max_bucket stops storing AND pairing (the df_cap
-    analog): driver-side unit check of the update fn."""
+    """A bucket past max_bucket stops storing AND pairing (the batch
+    max_bucket analog): driver-side unit check of the update fn."""
     from x5_ner_spark.streaming.stream_dedup import _bucket_update_fn
-
-    class FakeState:
-        def __init__(self):
-            self.exists = False
-            self._v = None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-            self.exists = True
 
     update = _bucket_update_fn(max_bucket=3)
     state = FakeState()
@@ -132,6 +145,112 @@ def test_bucket_state_cap_bounds_membership():
     # nor paired; the re-seen 2 is ignored
     assert pairs == [(1, 2), (1, 3), (2, 3)]
     assert list(state.get[0]) == [1, 2, 3]
+    # no TTL configured: the idle timer is never armed
+    assert state.timeout_durations == []
+
+
+def test_bucket_state_ttl_arm_and_eviction():
+    """state_ttl_ms: every arrival re-arms the idle timer; a timed-out
+    invocation clears the bucket, and a later arrival re-seeds it from
+    empty (pairs against evicted members are the documented recall trade)."""
+    from x5_ner_spark.streaming.stream_dedup import _bucket_update_fn
+
+    update = _bucket_update_fn(max_bucket=8, state_ttl_ms=60_000)
+    state = FakeState()
+    list(update(("b", "x"), iter([pd.DataFrame({"doc_id": [1, 2]})]), state))
+    list(update(("b", "x"), iter([pd.DataFrame({"doc_id": [3]})]), state))
+    assert state.timeout_durations == [60_000, 60_000]
+    assert list(state.get[0]) == [1, 2, 3]
+
+    state.hasTimedOut = True
+    out = list(update(("b", "x"), iter([]), state))
+    assert not state.exists  # evicted
+    assert sum(len(df) for df in out) == 0
+
+    state.hasTimedOut = False
+    out2 = list(update(("b", "x"), iter([pd.DataFrame({"doc_id": [4, 1]})]), state))
+    pairs = [
+        (a, b) for df in out2 for a, b in zip(df["id_a"], df["id_b"])
+    ]
+    # re-seeded from empty: 1 and 4 pair with each other only — the
+    # evicted members 2,3 are gone
+    assert pairs == [(1, 4)]
+    assert list(state.get[0]) == [1, 4]
+
+
+def test_stream_pairs_with_ttl_wiring_equal_batch(spark, corpus_path):
+    """ProcessingTimeTimeout wiring through a real query: with a TTL far
+    above the run's wall time no bucket evicts, so parity with batch must
+    hold exactly (the timeout plumbing itself is what's under test)."""
+    batch_docs = spark.read.parquet(corpus_path)
+    want = {
+        (r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(batch_docs).collect()
+    }
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(corpus_path)
+    )
+    pairs = stream_dedup.candidate_pairs_stream(stream, state_ttl_ms=3_600_000)
+    q = (
+        pairs.writeStream.format("memory").queryName("t_pairs_ttl")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r["id_a"], r["id_b"]) for r in spark.table("t_pairs_ttl").collect()}
+    assert got == want and len(want) > 0
+
+
+def test_stream_recovery_from_checkpoint_equals_batch(spark, tmp_path):
+    """VERDICT r7 #3a: kill the stream mid-corpus and restart from the
+    checkpoint — the state store must reload the bucket membership, so the
+    accumulated pair set equals the uninterrupted (batch) run. foreachBatch
+    parquet sink; both runs share one checkpointLocation."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    docs = _docs(spark)
+    # evens first, odds after the restart: every planted near-dup pair is
+    # (2i, 2i+1), so EVERY true pair straddles the kill point — pairing the
+    # second half correctly is impossible without recovered bucket state
+    docs.filter("doc_id % 2 = 0").repartition(3).write.mode("append").parquet(src)
+
+    def run_to_idle():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        pairs = stream_dedup.candidate_pairs_stream(stream)
+
+        def sink(df, _epoch):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            pairs.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_to_idle()  # first half of the corpus, then the query stops
+    mid = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()
+    }
+    # second half arrives while the stream is DOWN; restart from checkpoint
+    docs.filter("doc_id % 2 = 1").repartition(3).write.mode("append").parquet(src)
+    run_to_idle()
+
+    want = {
+        (r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(docs).collect()
+    }
+    got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()}
+    assert got == want and len(want) > 0
+    # the restart genuinely continued (cross-half pairs appeared after it):
+    # recovery added pairs the first run could not have seen
+    assert mid < got
 
 
 def test_stream_rescored_edges_equal_batch(spark, corpus_path):
@@ -163,10 +282,58 @@ def test_stream_rescored_edges_equal_batch(spark, corpus_path):
     rows = spark.table("t_edges_stream").collect()
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
     assert got == want and len(want) > 0
-    # multi-band duplicate emissions carry identical jaccard values
-    from collections import defaultdict
+    # multi-band duplicate emissions are trimmed BEFORE the rescore join
+    # (watermark-bounded dedup, VERDICT r7 nit 2): exactly one row per edge
+    from collections import Counter
 
-    vals = defaultdict(set)
-    for r in rows:
-        vals[(r["id_a"], r["id_b"])].add(r["jaccard"])
-    assert all(len(v) == 1 for v in vals.values())
+    dupes = Counter((r["id_a"], r["id_b"]) for r in rows)
+    assert max(dupes.values()) == 1
+
+
+def test_edges_stream_unmatched_triage(spark, corpus_path):
+    """ADVICE r7: a streamed doc absent from the static snapshot cannot be
+    rescored. Default 'drop' discards its pairs silently (the documented
+    snapshot-covers-stream contract); 'null' routes them to the output with
+    jaccard IS NULL as the snapshot-lag triage signal."""
+    batch_docs = spark.read.parquet(corpus_path)
+    # snapshot missing doc 1 — the planted partner of doc 0, so the (0, 1)
+    # candidate pair is guaranteed and cannot be rescored
+    snapshot = batch_docs.filter("doc_id != 1")
+
+    def run(unmatched, name):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(corpus_path)
+        )
+        edges = stream_dedup.near_dup_edges_stream(
+            stream, snapshot, unmatched=unmatched
+        )
+        q = (
+            edges.writeStream.format("memory").queryName(name)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        return spark.table(name).collect()
+
+    dropped = run("drop", "t_triage_drop")
+    assert all(r["jaccard"] is not None for r in dropped)
+    assert (0, 1) not in {(r["id_a"], r["id_b"]) for r in dropped}
+
+    routed = run("null", "t_triage_null")
+    null_pairs = {
+        (r["id_a"], r["id_b"]) for r in routed if r["jaccard"] is None
+    }
+    assert (0, 1) in null_pairs  # the un-rescorable pair is surfaced
+    # scored rows are identical to the drop run
+    assert {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in routed if r["jaccard"] is not None
+    } == {(r["id_a"], r["id_b"], r["jaccard"]) for r in dropped}
+
+    with pytest.raises(ValueError):
+        stream_dedup.near_dup_edges_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(corpus_path),
+            snapshot,
+            unmatched="bogus",
+        )
