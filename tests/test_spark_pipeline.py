@@ -150,3 +150,63 @@ def test_full_pipeline_smoke(spark, pages):
     assert out["triples"].count() > 0
     assert out["linked"].count() > 0
     assert set(out["triples"].columns) == {"subj", "pred", "obj", "url"}
+
+
+def test_dedup_docs_keeps_one_canonical_page(spark, pages):
+    """VERDICT r7 #7: the ingestion-path near-dup filter. Clone a page under
+    new urls (one clone trailing extra text); dedup_docs keeps exactly one
+    canonical copy per cluster — the longest text — and leaves every
+    non-duplicated page untouched."""
+    from x5_ner_spark.pipeline.runner import dedup_docs
+
+    docs = extract.run(pages)
+    base = docs.orderBy("url").limit(1).collect()[0]
+    clones = spark.createDataFrame(
+        [
+            ("dup://a", base["text"]),
+            ("dup://b", base["text"] + " хвост дубликата страницы"),
+        ],
+        "url string, text string",
+    )
+    aug = docs.select("url", "text").unionByName(clones)
+    kept = dedup_docs(aug)
+    kept_urls = {r["url"] for r in kept.select("url").collect()}
+    survivors = kept_urls & {base["url"], "dup://a", "dup://b"}
+    assert survivors == {"dup://b"}  # longest text wins the keeper pick
+    # every page outside the planted cluster survives
+    assert len(kept_urls) == N + 2 - 2
+
+
+def test_run_pipeline_dedup_flag(spark, pages):
+    """run_pipeline(dedup=True) must drop the cloned page from BOTH the doc
+    table and the triple stage (the fused path re-reads pages — the url
+    semi-join is what keeps the two in sync)."""
+    clone_html = pages.orderBy("url").limit(1).collect()[0]["html"]
+    clones = spark.createDataFrame(
+        [("dup://p1", None, bytes(clone_html), None, "ru")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    aug = pages.select("url", "warc_ts", "html", "text", "lang").unionByName(clones)
+    out = run_pipeline(spark, aug, dedup=True)
+    n_docs = out["docs"].count()
+    assert n_docs == N  # exactly one of the two identical pages survived
+    trip_urls = {r["url"] for r in out["triples"].select("url").distinct().collect()}
+    assert len(trip_urls & {"dup://p1", pages.orderBy("url").limit(1).collect()[0]["url"]}) <= 1
+    out["triples"].unpersist()
+
+
+def test_lsh_valve_default_on():
+    """near_dup_clusters_lsh carries the production hub-skew default; the
+    candidate generator stays exact-by-default for the oracle surface."""
+    import inspect
+
+    from x5_ner_spark.operators import dedup as D
+
+    assert (
+        inspect.signature(D.near_dup_clusters_lsh).parameters["max_bucket"].default
+        == D.DEFAULT_MAX_BUCKET
+    )
+    assert (
+        inspect.signature(D.minhash_candidate_pairs).parameters["max_bucket"].default
+        is None
+    )

@@ -320,10 +320,24 @@ def jaccard_rescore(
     )
 
 
+DEFAULT_MAX_BUCKET = 512
+"""Production default for the hub-skew valve (VERDICT r7 #7). Rationale:
+a band bucket of m docs emits m² candidate pairs, and a boilerplate hub in
+a constant fraction of a web corpus makes m proportional to the CORPUS —
+the one term in the dedup plan that does not scale. 512 bounds any single
+bucket to ≤ 262k pairs (one task's work) while sitting far above every
+legitimate near-dup bucket observed at sandbox scales (max 10 at sf0.1) —
+genuinely over-full buckets carry no discriminative signal (membership
+means "contains the hub"). The measured aggressive pairing for
+boilerplate-heavy corpora is max_bucket=64 with n_hashes=16 (recall
+0.9964 at 2.4× wall vs 0.958 at n_hashes=8 — BENCH/BASELINE.md round 7,
+tools/hub_skew_stress.py)."""
+
+
 def near_dup_clusters_lsh(
     docs: DataFrame, k: int = 3, threshold: float = 0.5,
     n_hashes: int = 8, band_size: int = 2, quality_col: str = "n_chars",
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """The PRODUCTION corpus-dedup composition (VERDICT r2 #4): MinHash-LSH
     band buckets → candidate pairs → EXACT Jaccard rescore → connected
@@ -331,10 +345,15 @@ def near_dup_clusters_lsh(
     differs only where LSH recall misses a true pair (rescore is exact, so
     surviving pairs are always true near-dups — no false positives). At
     100 TB this is the default: the exact shared-shingle join's hot-shingle
-    quadratic term never materializes. ``max_bucket`` (hub-skew valve, see
-    :func:`minhash_candidate_pairs`) should be ON at web scale — the
-    hub-skew stress run in BENCH/BASELINE.md round 7 is the measured
-    rationale."""
+    quadratic term never materializes.
+
+    ``max_bucket`` (hub-skew valve, see :func:`minhash_candidate_pairs`) is
+    ON by default at :data:`DEFAULT_MAX_BUCKET` — corpus-scale callers get
+    the bounded-quadratic plan without opting in; pass ``None`` for exact
+    LSH semantics (every bucket self-joined). Run exact-fingerprint dedup
+    first at scale: a cluster of > max_bucket IDENTICAL docs collides in
+    every band, so all its buckets cap and the valve drops it — exact dups
+    are the cheap groupBy's job (:func:`exact_duplicates`), not LSH's."""
     cand = minhash_candidate_pairs(docs, k, n_hashes, band_size, max_bucket)
     rescored = jaccard_rescore(docs, cand, k, threshold)
     return near_dup_clusters(docs, rescored, quality_col=quality_col)

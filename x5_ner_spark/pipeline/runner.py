@@ -44,6 +44,46 @@ def default_alias_dict(spark: SparkSession) -> DataFrame:
     )
 
 
+def dedup_docs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup page filter for the ingestion path: MinHash-LSH clusters
+    over the extracted text (operators/dedup.near_dup_clusters_lsh), ONE
+    canonical page kept per cluster (longest text, ties → smallest id) —
+    the standard pre-inference dedup of a web-corpus pipeline (a crawl is
+    20-40% near-duplicate; deduping before the model pass saves that
+    fraction of inference cost).
+
+    ``max_bucket`` None here means "use near_dup_clusters_lsh's production
+    default" (DEFAULT_MAX_BUCKET hub-skew valve — see operators/dedup.py);
+    0 disables the valve (exact LSH semantics). Page identity is
+    xxhash64(url) — adequate to 10^8 pages; a production deployment keys on
+    a 128-bit url fingerprint column instead."""
+    from ..operators import dedup as D
+
+    mb: int | None
+    if max_bucket is None:
+        mb = D.DEFAULT_MAX_BUCKET
+    elif max_bucket == 0:
+        mb = None
+    else:
+        mb = max_bucket
+    keyed = docs.withColumn("_did", F.xxhash64("url"))
+    clusters = D.near_dup_clusters_lsh(
+        keyed.select(
+            F.col("_did").alias("doc_id"),
+            "text",
+            F.length("text").cast("double").alias("n_chars"),
+        ),
+        threshold=threshold,
+        max_bucket=mb,
+    )
+    drops = clusters.filter("dropped").select(F.col("doc_id").alias("_did"))
+    return keyed.join(drops, "_did", "left_anti").drop("_did")
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -53,10 +93,20 @@ def run_pipeline(
     n_buckets: int = 8,
     run_id: str = "run0",
     emission_npz: str | None = None,
+    dedup: bool = False,
+    dedup_max_bucket: int | None = None,
 ) -> dict[str, DataFrame]:
     """Returns the stage DataFrames; writes stage tables + manifests when
-    ``out_root`` is given (checkpoint-resume per graph.write_stage)."""
+    ``out_root`` is given (checkpoint-resume per graph.write_stage).
+
+    ``dedup=True`` inserts the near-dup page filter (:func:`dedup_docs`)
+    between extraction and inference — the hub-skew valve is ON by default
+    there (``dedup_max_bucket`` overrides; VERDICT r7 #7)."""
     docs = extract.run(pages)
+    if dedup:
+        docs = dedup_docs(docs, max_bucket=dedup_max_bucket)
+        # the fused triple stage re-reads PAGES; restrict it to the kept urls
+        pages = pages.join(docs.select("url"), "url", "left_semi")
     lex = brand_lexicon if brand_lexicon is not None else [b for b in BRANDS]
     # `men` is a lazy plan for callers that want the span table; triple
     # production itself uses the fused single-Arrow-stage path (pipeline/
@@ -147,6 +197,16 @@ def main() -> None:
     )
     ap.add_argument("--train-iters", type=int, default=30)
     ap.add_argument("--train-lr", type=float, default=0.8)
+    ap.add_argument(
+        "--dedup", action="store_true",
+        help="near-dup page filter before inference (MinHash-LSH clusters, "
+             "one keeper per cluster; hub-skew valve ON by default)",
+    )
+    ap.add_argument(
+        "--dedup-max-bucket", type=int, default=None,
+        help="hub-skew valve cap for --dedup (default: "
+             "operators/dedup.DEFAULT_MAX_BUCKET; 0 disables the valve)",
+    )
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -191,6 +251,7 @@ def main() -> None:
         spark, pages, out_root=out_dir, brand_lexicon=lex,
         n_buckets=n_buckets, run_id=str(cfg["run_id"]),
         emission_npz=args.emission_npz,
+        dedup=args.dedup, dedup_max_bucket=args.dedup_max_bucket,
     )
     print({k: v.count() for k, v in out.items()})
 
