@@ -42,12 +42,24 @@ def decision_log(
     id_col: str = "doc_id",
     text_col: str = "text",
     emission_npz: str | None = None,
+    decode: str = "cascade",
+    long_doc: str = "truncate",
+    chunk_stride: int | None = None,
 ) -> DataFrame:
     """(id, text) table → per-word decision-log rows. ``brand_lexicon`` may
     be a frozenset or a ``sparkContext.broadcast`` handle. ``emission_npz``
     swaps the emission model for a weights-on-disk checkpoint
     (core/emission.py) so the log reflects the DEPLOYED model's
-    probabilities, consistent with make_mentions_udf / fused_triples."""
+    probabilities, consistent with make_mentions_udf / fused_triples.
+
+    ``decode='crf'`` logs the Viterbi decoder instead of the rule cascade
+    (VERDICT r7 #6): same schema, ``reason='crf_viterbi'``, lexicon flags
+    honest-False (Viterbi consults no lexicon — the lexicon arg is unused
+    there). ``long_doc='windowed'`` + ``chunk_stride`` apply the chunked
+    long-document wrapper to sequence-level checkpoints, as in
+    fused_triples (core/chunked.py)."""
+    if decode not in ("cascade", "crf"):
+        raise ValueError(f"decode must be 'cascade' or 'crf', got {decode!r}")
     lex_handle = brand_lexicon
 
     def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -56,14 +68,22 @@ def decision_log(
         lex_list = sorted(lex)
         provider = None
         if emission_npz is not None:
+            from ..core.chunked import maybe_chunked
             from ..core.emission import provider_for
 
-            provider = provider_for(emission_npz)
+            provider = maybe_chunked(
+                provider_for(emission_npz), long_doc, chunk_stride
+            )
         for pdf in pdfs:
             texts = ["" if t is None else t for t in pdf["_log_text"]]
             logs: list[list[dict]] = []
-            final_mention_spans_batch(texts, lex, lex_list, logs=logs,
-                                      provider=provider)
+            if decode == "crf":
+                from ..core.mention_pipeline import crf_mention_spans_batch
+
+                crf_mention_spans_batch(texts, provider=provider, logs=logs)
+            else:
+                final_mention_spans_batch(texts, lex, lex_list, logs=logs,
+                                          provider=provider)
             rows = []
             for did, recs in zip(pdf["_log_id"], logs):
                 for r in recs:
