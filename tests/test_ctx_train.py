@@ -116,3 +116,55 @@ def test_fit_descends_and_improves_teacher_agreement(spark, ckpt, docs, tmp_path
     a_base, a_trained = agreement(base), agreement(trained)
     assert a_trained > a_base, (a_base, a_trained)
     assert a_trained >= 0.6, a_trained
+
+
+def test_fit_is_bit_reproducible(spark, ckpt, docs, tmp_path):
+    """ADVICE r7: partition gradient sums run in pid order, so two fits on
+    the same partitioning produce byte-identical checkpoints."""
+    outs = []
+    for name in ("a.npz", "b.npz"):
+        feats = ctx_feature_table(docs, ckpt)
+        outs.append(fit_ctx_head(feats, ckpt, str(tmp_path / name), iters=5, lr=0.5))
+    za, zb = np.load(outs[0]), np.load(outs[1])
+    assert sorted(za.files) == sorted(zb.files)
+    for k in za.files:
+        assert np.array_equal(za[k], zb[k]), k
+
+
+def test_weighted_head_gradients_match_finite_differences():
+    """class_weight path: weighted CE gradients agree with finite
+    differences (the balanced-training knob of VERDICT r7 #5)."""
+    rng = np.random.RandomState(5)
+    f = rng.randn(8, 4)
+    y = rng.randint(0, 9, size=8)
+    w = rng.randn(4, 9) * 0.1
+    b = rng.randn(9) * 0.1
+    cw = rng.uniform(0.2, 3.0, size=9)
+    loss, gw, gb = softmax_head_loss_and_grads(f, y, w, b, cw)
+    eps = 1e-6
+    for idx in [(0, 0), (1, 4), (3, 8)]:
+        wp = w.copy(); wp[idx] += eps
+        wm = w.copy(); wm[idx] -= eps
+        lp, _, _ = softmax_head_loss_and_grads(f, y, wp, b, cw)
+        lm, _, _ = softmax_head_loss_and_grads(f, y, w.copy() * 0 + wm, b, cw)
+        assert abs((lp - lm) / (2 * eps) - gw[idx]) < 1e-5
+    for j in (2, 7):
+        bp = b.copy(); bp[j] += eps
+        bm = b.copy(); bm[j] -= eps
+        lp, _, _ = softmax_head_loss_and_grads(f, y, w, bp, cw)
+        lm, _, _ = softmax_head_loss_and_grads(f, y, w, bm, cw)
+        assert abs((lp - lm) / (2 * eps) - gb[j]) < 1e-5
+
+
+def test_fit_balanced_class_weight_descends(spark, ckpt, docs, tmp_path):
+    hist: list = []
+    feats = ctx_feature_table(docs, ckpt)
+    out = fit_ctx_head(
+        feats, ckpt, str(tmp_path / "bal.npz"), iters=30, lr=0.3,
+        loss_history=hist, class_weight="balanced",
+    )
+    assert hist[-1] < hist[0], (hist[0], hist[-1])
+    assert out.endswith(".npz")
+    with pytest.raises(ValueError):
+        fit_ctx_head(feats, ckpt, str(tmp_path / "x.npz"), iters=1,
+                     class_weight="bogus")
