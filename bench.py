@@ -313,9 +313,16 @@ def run_longdoc_curve() -> list[dict]:
     results = []
     for n, sents in combos:
         pages = _pages_from_parquet(spark, n, sentences=sents, partitions=int(CPUS))
-        # mean piece count per doc (off the clock): the curve's real x-axis
+        # mean piece count per doc (off the clock): the curve's real x-axis.
+        # Fixture pages carry their content in `html` (text is empty) —
+        # extract first, same as the timed path does (CLAUDE.md pitfall).
+        from x5_ner_spark.core.html_text import extract_text
+
         prov = provider_for(ctx)
-        sample = [r["text"] for r in pages.limit(100).collect()]
+        sample = [
+            r["text"] if r["text"] else extract_text(r["html"])
+            for r in pages.limit(100).collect()
+        ]
         pieces = [
             sum(
                 len(prov.tokenizer.word_pieces(t[s:e]))
