@@ -181,22 +181,28 @@ def test_bucket_state_ttl_arm_and_eviction():
 def test_stream_pairs_with_ttl_wiring_equal_batch(spark, corpus_path):
     """ProcessingTimeTimeout wiring through a real query: with a TTL far
     above the run's wall time no bucket evicts, so parity with batch must
-    hold exactly (the timeout plumbing itself is what's under test)."""
+    hold exactly (the timeout plumbing — timeoutConf + setTimeoutDuration
+    through a real GroupState — is what's under test).
+
+    Trigger.Once, NOT availableNow: any ARMED processing-time timer keeps
+    the availableNow wrapper scheduling zero-row batches forever (measured
+    185 s silent awaitTermination timeout + a leaked active query). Once
+    runs the single batch and stops; multi-batch TTL behavior is covered by
+    the eviction test's three query lifecycles below."""
     batch_docs = spark.read.parquet(corpus_path)
     want = {
         (r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(batch_docs).collect()
     }
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 2)
-        .parquet(corpus_path)
-    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(corpus_path)
     pairs = stream_dedup.candidate_pairs_stream(stream, state_ttl_ms=3_600_000)
     q = (
         pairs.writeStream.format("memory").queryName("t_pairs_ttl")
-        .outputMode("update").trigger(availableNow=True).start()
+        .outputMode("update").trigger(once=True).start()
     )
-    q.awaitTermination(180)
+    try:
+        assert q.awaitTermination(180), "query did not terminate"
+    finally:
+        q.stop()
     got = {(r["id_a"], r["id_b"]) for r in spark.table("t_pairs_ttl").collect()}
     assert got == want and len(want) > 0
 
@@ -337,3 +343,74 @@ def test_edges_stream_unmatched_triage(spark, corpus_path):
             snapshot,
             unmatched="bogus",
         )
+
+
+def test_stream_ttl_eviction_end_to_end(spark, tmp_path):
+    """state_ttl_ms recall trade demonstrated for real (not just the
+    update-fn unit): evens stream in and arm 1s idle timers; after the TTL
+    elapses a filler-only batch fires the expired timers (Spark times out
+    only groups with no data in the batch — the filler touches different
+    buckets), evicting every even bucket; the odds then re-seed empty
+    buckets, so the cross-half planted pairs are MISSED — precisely the
+    documented trade, the inverse of the TTL-less recovery test where all
+    planted pairs survive the same kill points."""
+    import time as _time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    docs = _docs(spark)
+
+    def run_to_idle():
+        # Trigger.Once, NOT availableNow: with ProcessingTimeTimeout state,
+        # availableNow keeps scheduling zero-row batches indefinitely once
+        # a timer has expired (measured: ~85 batches/min, query never
+        # terminates). Once runs exactly one batch — expired timers fire IN
+        # that batch alongside its data, which is precisely the eviction
+        # semantics under test — then stops. The three runs isolate
+        # evens / filler / odds into three batches.
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        pairs = stream_dedup.candidate_pairs_stream(stream, state_ttl_ms=1000)
+
+        def sink(df, _epoch):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            pairs.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(once=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "query did not terminate"
+
+    docs.filter("doc_id % 2 = 0").repartition(3).write.mode("append").parquet(src)
+    run_to_idle()
+    _time.sleep(2.5)  # let every bucket's 1s idle timer expire while down
+
+    filler = spark.createDataFrame(
+        [(10_000 + i, f"fillA{i} fillB{i} fillC{i} fillD{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    filler.repartition(2).write.mode("append").parquet(src)
+    run_to_idle()  # filler batches fire the expired timers -> eviction
+
+    docs.filter("doc_id % 2 = 1").repartition(3).write.mode("append").parquet(src)
+    run_to_idle()
+
+    got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    # every planted pair straddles the eviction: all missed
+    assert not (got & planted), sorted(got & planted)[:5]
+    # sanity: the stream did produce within-half candidate pairs (chance
+    # bucket collisions inside each half), so "missed" is eviction, not a
+    # dead stream — and with no TTL the identical kill pattern recovers
+    # every planted pair (test_stream_recovery_from_checkpoint_equals_batch)
+    from x5_ner_spark.operators.dedup import minhash_candidate_pairs
+
+    want_all = {
+        (r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(docs).collect()
+    }
+    assert planted <= want_all  # the batch path would have found them
+    assert got <= want_all | {(a, b) for a in range(10_000, 10_006)
+                              for b in range(10_000, 10_006)}

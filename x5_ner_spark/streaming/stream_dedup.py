@@ -163,7 +163,15 @@ def candidate_pairs_stream(
     With a TTL, a pair whose two docs arrive more than the TTL apart in a
     bucket no other band catches is missed — the recall trade for bounded
     state. State recovery from a checkpoint is parity-tested
-    (tests/test_stream_dedup.py: killed-and-restarted ≡ uninterrupted)."""
+    (tests/test_stream_dedup.py: killed-and-restarted ≡ uninterrupted).
+
+    TRIGGER CAVEAT (measured on Spark 4.1): with a TTL set, do NOT run
+    under ``Trigger.AvailableNow`` — any armed processing-time timer keeps
+    the wrapper scheduling zero-row batches indefinitely and the query
+    never terminates (~85 empty batches/min observed). Bounded backfills
+    with a TTL should use ``Trigger.Once`` per drain (expired timers fire
+    within that batch, alongside its data) or a continuous processing-time
+    trigger; TTL-less runs terminate normally under AvailableNow."""
     sig = minhash_signatures_stream(docs, k, n_hashes)
     keyed = sig.select(
         "doc_id", F.explode(_band_structs(n_hashes, band_size)).alias("bb")
