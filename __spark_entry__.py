@@ -601,9 +601,15 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup, PRODUCTION path (the 100 TB shape): MinHash-LSH band
     buckets → candidate pairs → exact Jaccard rescore → connected components
-    → keeper. The oracle replays banding + rescore + CC in SQL."""
+    → keeper. The oracle replays banding + rescore + CC in SQL —
+    max_bucket=None EXPLICITLY: the SQL models exact LSH (every bucket
+    self-joined), so the oracle query must pin the exact semantics rather
+    than inherit the production hub-skew default (DEFAULT_MAX_BUCKET), or
+    the two definitions would silently diverge on any corpus with a bucket
+    past the cap. The valve's own behavior is pinned by
+    tests/test_hub_skew.py instead."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.near_dup_clusters_lsh(docs, k=3, threshold=0.5)
+    return dedup.near_dup_clusters_lsh(docs, k=3, threshold=0.5, max_bucket=None)
 
 
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:

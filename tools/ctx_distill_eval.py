@@ -52,10 +52,11 @@ def main() -> None:
 
     import bench  # repo-root module: fixture vocab + checkpoint cache
 
-    from pyspark.sql import functions as F
-
-    from x5_ner_spark.operators.ctx_train import distill_eval_triples
-    from x5_ner_spark.operators.eval_ops import prf_counters
+    from x5_ner_spark.operators.ctx_train import (
+        distill_eval_triples,
+        split_pages,
+        triple_prf,
+    )
     from x5_ner_spark.pipeline.fixtures import pages_df
     from x5_ner_spark.pipeline.fused import fused_triples
     from x5_ner_spark.session import get_spark
@@ -96,23 +97,13 @@ def main() -> None:
     )
     wall = time.time() - t0
 
-    # random-head baseline on the SAME eval split
-    bucketed = pages.withColumn("_b", F.pmod(F.xxhash64("url"), F.lit(100)))
-    eval_pages = bucketed.filter(
-        F.col("_b") >= int(args.train_frac * 100)
-    ).drop("_b")
+    # random-head baseline on the SAME eval split (shared helpers — a
+    # drifted local reimplementation would score a different eval set)
+    _, eval_pages = split_pages(pages, args.train_frac)
     teacher = fused_triples(eval_pages)
     base_student = fused_triples(eval_pages, emission_npz=base_ckpt)
-    tot = (
-        prf_counters(teacher, base_student, keys=["url", "subj", "obj"],
-                     type_col="pred")
-        .agg(F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
-             F.sum("fn").alias("fn"))
-        .collect()[0]
-    )
-    btp, bfp, bfn = int(tot["tp"]), int(tot["fp"]), int(tot["fn"])
-    bp = btp / (btp + bfp) if btp + bfp else 0.0
-    br = btp / (btp + bfn) if btp + bfn else 0.0
+    base = triple_prf(teacher, base_student)
+    bp, br = base["precision"], base["recall"]
 
     per_pred = {
         r["pred"]: (int(r["tp"]), int(r["fp"]), int(r["fn"]))

@@ -13,9 +13,12 @@ from __future__ import annotations
 from .cascade import decide_word_labels
 from .numeric import tokenize_with_offsets
 from .postprocess import postprocess
+from .spans import BIO_TAGS as _BIO_TAGS
 from .spans import Span, bio_to_entities, serialize_spans
 from .stub_model import batch_probabilities, word_probabilities
-from .textnorm import norm_basic, norm_token_simple
+from .textnorm import has_latin_vowel, is_pure_latin, norm_basic, norm_token_simple
+
+_BIO_IDX = {t: i for i, t in enumerate(_BIO_TAGS)}
 
 _BATCH_PROB_CACHE: dict[tuple[str, bool], tuple[float, ...]] = {}
 _BATCH_PROB_CACHE_MAX = 1 << 16
@@ -178,11 +181,10 @@ def _crf_log_record(
     — the CRF path has no rule ladder. The lexicon features are honest
     constants: Viterbi consults no lexicon, so ``in_lex``/``fuzzy_hit``
     are False by construction, while the purely lexical predicates
-    (pure_lat/short_lat/has_vowel) are computed as on the cascade path."""
-    from .spans import BIO_TAGS
-    from .textnorm import has_latin_vowel, is_pure_latin, norm_token_simple
-
-    idx = {t: i for i, t in enumerate(BIO_TAGS)}
+    (pure_lat/short_lat/has_vowel) are computed as on the cascade path.
+    Called once per decided word — the tag index and imports live at
+    module level (the cascade keeps its own _IDX the same way)."""
+    idx = _BIO_IDX
     p_o = float(prob_row[idx["O"]])
     p_bb, p_ib = float(prob_row[idx["B-BRAND"]]), float(prob_row[idx["I-BRAND"]])
     p_bt, p_it = float(prob_row[idx["B-TYPE"]]), float(prob_row[idx["I-TYPE"]])

@@ -263,6 +263,21 @@ def fit_ctx_head(
     return out_path if out_path.endswith(".npz") else out_path + ".npz"
 
 
+def split_pages(pages, train_frac: float = 0.5):
+    """Deterministic url-hash train/eval page split — THE split of the
+    distillation gate, shared by :func:`distill_eval_triples`, its floor
+    test, and tools/ctx_distill_eval.py's random-head baseline so every
+    published comparison scores the same eval set (a drifted reimplementation
+    would silently corrupt the training-lift numbers)."""
+    b = F.pmod(F.xxhash64("url"), F.lit(100))
+    cut = int(train_frac * 100)
+    bucketed = pages.withColumn("_b", b)
+    return (
+        bucketed.filter(F.col("_b") < cut).drop("_b"),
+        bucketed.filter(F.col("_b") >= cut).drop("_b"),
+    )
+
+
 def distill_eval_triples(
     pages,
     ckpt_path: str,
@@ -292,17 +307,9 @@ def distill_eval_triples(
     inverse-frequency class weights)."""
     if objective not in ("soft", "hard", "balanced"):
         raise ValueError(f"unknown objective {objective!r}")
-    from pyspark.sql import functions as F
-
+    train_pages, eval_pages = split_pages(pages, train_frac)
     from ..pipeline import extract
     from ..pipeline.fused import fused_triples
-    from .eval_ops import prf_counters
-
-    bucketed = pages.withColumn(
-        "_b", F.pmod(F.xxhash64("url"), F.lit(100))
-    )
-    train_pages = bucketed.filter(F.col("_b") < int(train_frac * 100)).drop("_b")
-    eval_pages = bucketed.filter(F.col("_b") >= int(train_frac * 100)).drop("_b")
 
     feats = ctx_feature_table(
         extract.run(train_pages).select("text"), ckpt_path,
@@ -318,6 +325,15 @@ def distill_eval_triples(
 
     teacher = fused_triples(eval_pages)
     student = fused_triples(eval_pages, emission_npz=trained)
+    return {"ckpt": trained, **triple_prf(teacher, student)}
+
+
+def triple_prf(teacher, student) -> dict:
+    """Micro P/R/F1 of ``student`` triples against ``teacher`` triples on
+    exact (url, subj, pred, obj) identity — the one scoring function every
+    distillation comparison uses (returns the per-pred counter table too)."""
+    from .eval_ops import prf_counters
+
     counters = prf_counters(
         teacher, student, keys=["url", "subj", "obj"], type_col="pred"
     ).persist()
@@ -329,7 +345,6 @@ def distill_eval_triples(
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     return {
-        "ckpt": trained,
         "counters": counters,
         "tp": tp, "fp": fp, "fn": fn,
         "precision": round(precision, 4),

@@ -47,7 +47,7 @@ def default_alias_dict(spark: SparkSession) -> DataFrame:
 def dedup_docs(
     docs: DataFrame,
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = -1,
 ) -> DataFrame:
     """Near-dup page filter for the ingestion path: MinHash-LSH clusters
     over the extracted text (operators/dedup.near_dup_clusters_lsh), ONE
@@ -56,20 +56,16 @@ def dedup_docs(
     20-40% near-duplicate; deduping before the model pass saves that
     fraction of inference cost).
 
-    ``max_bucket`` None here means "use near_dup_clusters_lsh's production
-    default" (DEFAULT_MAX_BUCKET hub-skew valve — see operators/dedup.py);
-    0 disables the valve (exact LSH semantics). Page identity is
-    xxhash64(url) — adequate to 10^8 pages; a production deployment keys on
-    a 128-bit url fingerprint column instead."""
+    ``max_bucket`` follows near_dup_clusters_lsh's contract exactly —
+    None = valve OFF (exact LSH semantics), an int = that cap; the default
+    (-1 sentinel, "unset") resolves to DEFAULT_MAX_BUCKET. Same meaning at
+    both layers, so a caller who knows the operator's contract is never
+    surprised here. Page identity is xxhash64(url) — adequate to 10^8
+    pages; a production deployment keys on a 128-bit url fingerprint
+    column instead."""
     from ..operators import dedup as D
 
-    mb: int | None
-    if max_bucket is None:
-        mb = D.DEFAULT_MAX_BUCKET
-    elif max_bucket == 0:
-        mb = None
-    else:
-        mb = max_bucket
+    mb = D.DEFAULT_MAX_BUCKET if max_bucket == -1 else max_bucket
     keyed = docs.withColumn("_did", F.xxhash64("url"))
     clusters = D.near_dup_clusters_lsh(
         keyed.select(
@@ -94,14 +90,16 @@ def run_pipeline(
     run_id: str = "run0",
     emission_npz: str | None = None,
     dedup: bool = False,
-    dedup_max_bucket: int | None = None,
+    dedup_max_bucket: int | None = -1,
 ) -> dict[str, DataFrame]:
     """Returns the stage DataFrames; writes stage tables + manifests when
     ``out_root`` is given (checkpoint-resume per graph.write_stage).
 
     ``dedup=True`` inserts the near-dup page filter (:func:`dedup_docs`)
     between extraction and inference — the hub-skew valve is ON by default
-    there (``dedup_max_bucket`` overrides; VERDICT r7 #7)."""
+    there (``dedup_max_bucket`` overrides, same contract as
+    near_dup_clusters_lsh: None = valve off, int = cap, -1 = unset/default;
+    VERDICT r7 #7)."""
     docs = extract.run(pages)
     if dedup:
         docs = dedup_docs(docs, max_bucket=dedup_max_bucket)
@@ -203,7 +201,7 @@ def main() -> None:
              "one keeper per cluster; hub-skew valve ON by default)",
     )
     ap.add_argument(
-        "--dedup-max-bucket", type=int, default=None,
+        "--dedup-max-bucket", type=int, default=-1,
         help="hub-skew valve cap for --dedup (default: "
              "operators/dedup.DEFAULT_MAX_BUCKET; 0 disables the valve)",
     )
@@ -251,7 +249,10 @@ def main() -> None:
         spark, pages, out_root=out_dir, brand_lexicon=lex,
         n_buckets=n_buckets, run_id=str(cfg["run_id"]),
         emission_npz=args.emission_npz,
-        dedup=args.dedup, dedup_max_bucket=args.dedup_max_bucket,
+        dedup=args.dedup,
+        # CLI keeps 0 = "disable the valve" (argparse cannot pass None);
+        # the library contract below is None = off, -1 = unset
+        dedup_max_bucket=None if args.dedup_max_bucket == 0 else args.dedup_max_bucket,
     )
     print({k: v.count() for k, v in out.items()})
 
