@@ -83,24 +83,47 @@ def test_frame_sample_plan(spark, media_df):
 
 def test_stateful_domain_counts(spark, tmp_path):
     """applyInPandasWithState accumulates across micro-batches; final state
-    equals the batch aggregate."""
+    equals the batch aggregate. Two Trigger.Once lifecycles over one
+    checkpoint — NOT availableNow: the operator arms processing-time idle
+    timers, and any armed timer keeps availableNow scheduling empty batches
+    until the awaitTermination timeout (the silent-120s-hang + leaked-query
+    pattern fixed across the stream suite in r8). Each run is one batch;
+    accumulation across the restart exercises exactly the cross-batch state
+    path."""
     from x5_ner_spark.pipeline import extract, mentions
     from x5_ner_spark.streaming import stateful, stream_pipeline
 
     pages_path = str(tmp_path / "pages3")
-    pages_df(spark, 60).write.mode("overwrite").parquet(pages_path)
+    out_path = str(tmp_path / "state_out")
+    ck = str(tmp_path / "state_ck")
+    all_pages = pages_df(spark, 60)
 
-    stream = stream_pipeline.stream_pages(spark, pages_path, max_files_per_trigger=1)
-    men = mentions.run(extract.run(stream).select("url", "text"), None, balance=False)
-    out = stateful.domain_mention_state(men)
-    q = (
-        out.writeStream.format("memory").queryName("t_state")
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(120)
+    def run_once():
+        stream = stream_pipeline.stream_pages(
+            spark, pages_path, max_files_per_trigger=1
+        )
+        men = mentions.run(extract.run(stream).select("url", "text"), None,
+                           balance=False)
+        out = stateful.domain_mention_state(men)
+
+        def sink(df, _epoch):
+            df.write.mode("append").parquet(out_path)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("update").trigger(once=True).start()
+        )
+        assert q.awaitTermination(120), "query did not terminate"
+
+    all_pages.filter(F.crc32("url") % 2 == 0).write.mode("append").parquet(pages_path)
+    run_once()
+    all_pages.filter(F.crc32("url") % 2 == 1).write.mode("append").parquet(pages_path)
+    run_once()
+
     # last update per domain = cumulative total
     got = (
-        spark.table("t_state")
+        spark.read.parquet(out_path)
         .groupBy("domain")
         .agg(F.max("n_pages").alias("n_pages"), F.max("n_mentions").alias("n_mentions"))
         .collect()

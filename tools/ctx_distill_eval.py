@@ -46,7 +46,7 @@ def main() -> None:
              "probe ceiling scales with d (a d=32 random encoder cannot "
              "linearly separate the BRAND piece set)",
     )
-    ap.add_argument("--objective", default="soft",
+    ap.add_argument("--objective", default="hard",
                     choices=["soft", "hard", "balanced"])
     args = ap.parse_args()
 

@@ -286,7 +286,7 @@ def distill_eval_triples(
     lr: float = 1.0,
     loss_history: list | None = None,
     train_frac: float = 0.5,
-    objective: str = "soft",
+    objective: str = "hard",
     momentum: float = 0.9,
 ) -> dict:
     """End-to-end distillation gate (VERDICT r7 #5): train the ctx head on
@@ -301,10 +301,13 @@ def distill_eval_triples(
     counter table and the trained checkpoint path. The reference analog is
     eval_submission_on_train.py's span P/R, lifted to the triple surface.
 
-    ``objective``: 'soft' (default — distill the teacher's probability
-    rows; best measured triple F1, because the cascade thresholds the
-    probabilities), 'hard' (argmax labels), or 'balanced' (argmax labels,
-    inverse-frequency class weights)."""
+    ``objective``: 'hard' (default — argmax teacher labels; the measured
+    best at every encoder width, BENCH/BASELINE.md round 8), 'soft'
+    (distill the teacher's full probability rows — theoretically the right
+    calibration target for the threshold cascade, but on a random frozen
+    encoder it spends limited probe capacity matching teacher entropy and
+    measured consistently below hard), or 'balanced' (argmax labels,
+    inverse-frequency class weights — recall-tilted)."""
     if objective not in ("soft", "hard", "balanced"):
         raise ValueError(f"unknown objective {objective!r}")
     train_pages, eval_pages = split_pages(pages, train_frac)

@@ -5,6 +5,12 @@ request/response): ``applyInPandasWithState`` keyed by domain, maintaining a
 running (n_pages, n_mentions) state across micro-batches with processing-time
 timeout eviction. Demonstrates the engine's §2.13 stateful surface; the same
 pattern carries any accumulator (per-brand counts, dedup caches, rate stats).
+
+TRIGGER CAVEAT (same as stream_dedup with a TTL, measured on Spark 4.1):
+armed processing-time timers keep ``Trigger.AvailableNow`` scheduling
+zero-row batches indefinitely — the query never terminates. Drive bounded
+runs with ``Trigger.Once`` per drain; continuous deployments (the intended
+shape here) use a processing-time trigger and are unaffected.
 """
 
 from __future__ import annotations
