@@ -91,6 +91,13 @@ def ctx_feature_table(
     piece's word (propagated to each of its pieces). Map-only; persist the
     result before iterating on it.
 
+    Feature extraction inherits the provider's max_len truncation (same as
+    serving under long_doc='truncate'): on long-page corpora, train on
+    representative-length samples or the head never sees tail-piece
+    features — a windowed feature pass (the chunked.py pattern applied to
+    ``_forward_piece_feats``) is the extension point if tail supervision
+    ever matters; the fixture corpora sit well under one window.
+
     ``soft=True`` adds a ``q array<double>`` column: the teacher's FULL
     9-probability row (Hinton-style distillation targets). The cascade
     downstream consumes probability VECTORS against fixed thresholds
