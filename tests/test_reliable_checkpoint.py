@@ -12,6 +12,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def _cc(edges, **kw):
+    """connected_components pinned to the ITERATIVE path: these tests are
+    about round checkpoints/resume, which the hybrid local finisher (see
+    canonicalize.LOCAL_FINISH_EDGES) would answer before any round runs."""
+    from x5_ner_spark.pipeline.canonicalize import connected_components
+
+    kw.setdefault("local_finish_edges", 0)
+    return connected_components(edges, **kw)
+
+
 def _chain_edges(spark, n=30):
     # a path graph needs O(log n) star rounds — guaranteed not to converge
     # within the interrupted run's max_iter
@@ -21,15 +31,14 @@ def _chain_edges(spark, n=30):
 
 
 def test_cc_crash_resume_identical(spark, tmp_path):
-    from x5_ner_spark.pipeline.canonicalize import connected_components
     from x5_ner_spark.pipeline.graph import complete_stages
 
     edges = _chain_edges(spark, 30)
-    expected = sorted(tuple(r) for r in connected_components(edges).collect())
+    expected = sorted(tuple(r) for r in _cc(edges).collect())
 
     d = str(tmp_path / "cc_ckpt")
     # "crash" after 2 rounds: the loop stops with checkpoints committed
-    partial = connected_components(
+    partial = _cc(
         edges, max_iter=2, checkpoint_dir=d, checkpoint_every=1
     )
     partial.count()
@@ -40,7 +49,7 @@ def test_cc_crash_resume_identical(spark, tmp_path):
     # a fallback recompute would return nothing
     empty = spark.createDataFrame([], "src long, dst long")
     info: dict = {}
-    resumed = connected_components(
+    resumed = _cc(
         empty, checkpoint_dir=d, checkpoint_every=100, resume_info=info
     )
     assert info.get("resumed_from_round") == 2
@@ -96,7 +105,6 @@ def test_cc_checkpoint_completes_with_empty_buckets(spark, tmp_path):
     """A converged/skewed frontier hashes into FEW buckets — empty buckets
     must still get manifest rows so the round registers complete and resume
     actually fires (review finding r3)."""
-    from x5_ner_spark.pipeline.canonicalize import connected_components
     from x5_ner_spark.pipeline.graph import complete_stages
 
     # star graph: frontier collapses to (v -> 0) rows, src values are few
@@ -104,11 +112,11 @@ def test_cc_checkpoint_completes_with_empty_buckets(spark, tmp_path):
         [(0, i) for i in range(1, 20)], "src long, dst long"
     )
     d = str(tmp_path / "cc_star")
-    connected_components(edges, max_iter=2, checkpoint_dir=d, checkpoint_every=1).count()
+    _cc(edges, max_iter=2, checkpoint_dir=d, checkpoint_every=1).count()
     assert complete_stages(spark, d, "cc_round_", 8), "empty buckets blocked the manifest"
     info: dict = {}
     empty = spark.createDataFrame([], "src long, dst long")
-    resumed = connected_components(empty, checkpoint_dir=d, resume_info=info)
+    resumed = _cc(empty, checkpoint_dir=d, resume_info=info)
     assert "resumed_from_round" in info
     assert {r["node"] for r in resumed.collect()} == set(range(20))
 
@@ -116,15 +124,14 @@ def test_cc_checkpoint_completes_with_empty_buckets(spark, tmp_path):
 def test_cc_resume_ignores_rounds_beyond_max_iter(spark, tmp_path):
     """A checkpoint from a deeper earlier run must not leak into a shallower
     rerun (same guard as pagerank)."""
-    from x5_ner_spark.pipeline.canonicalize import connected_components
 
     edges = _chain_edges(spark, 24)
     d = str(tmp_path / "cc_deep")
-    connected_components(edges, max_iter=6, checkpoint_dir=d, checkpoint_every=2).count()
+    _cc(edges, max_iter=6, checkpoint_dir=d, checkpoint_every=2).count()
     info: dict = {}
-    shallow = connected_components(
+    shallow = _cc(
         edges, max_iter=1, checkpoint_dir=d, resume_info=info
     )
-    fresh = connected_components(edges, max_iter=1)
+    fresh = _cc(edges, max_iter=1)
     assert "resumed_from_round" not in info
     assert sorted(map(tuple, shallow.collect())) == sorted(map(tuple, fresh.collect()))

@@ -282,7 +282,8 @@ def test_cc_hub_skew_rounds_and_salted_path(spark):
     assert hub_deg / total >= 0.08, (hub_deg, total)  # the skew is real
 
     info: dict = {}
-    comp = connected_components(edges, resume_info=info)
+    # local_finish_edges=0: this test is ABOUT the iterative rounds
+    comp = connected_components(edges, resume_info=info, local_finish_edges=0)
     rows = comp.collect()
     assert len(rows) == n
     assert all(r["component"] == 0 for r in rows)  # ring+hub: one component
@@ -329,7 +330,7 @@ def test_iterative_loops_release_superseded_blocks(spark):
     n = 2048
     edges = hub_edges_df(spark, n, hub_share=0.1)
     info: dict = {}
-    comp = connected_components(edges, resume_info=info)
+    comp = connected_components(edges, resume_info=info, local_finish_edges=0)
     assert comp.count() == n
     assert info["rounds"] >= 3  # the loop really iterated
     after_cc = n_cached()

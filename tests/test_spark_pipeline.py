@@ -105,6 +105,7 @@ def _union_find_components(edges, nodes):
     return out
 
 
+@pytest.mark.parametrize("local_finish", [0, None])  # iterative / hybrid finisher
 @pytest.mark.parametrize("edges", [
     [(1, 2), (2, 3), (10, 11), (20, 20)],
     [(1, 2), (3, 4), (2, 3), (5, 6), (6, 7), (7, 5)],
@@ -112,15 +113,19 @@ def _union_find_components(edges, nodes):
     [(0, i) for i in range(1, 50)] + [(100, 101)],           # hub star
     [],
 ])
-def test_connected_components_vs_union_find(spark, edges):
+def test_connected_components_vs_union_find(spark, edges, local_finish):
     if not edges:
         df = spark.createDataFrame([], "src long, dst long")
-        assert canonicalize.connected_components(df).count() == 0
+        assert canonicalize.connected_components(
+            df, local_finish_edges=local_finish
+        ).count() == 0
         return
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
         r["node"]: r["component"]
-        for r in canonicalize.connected_components(df).collect()
+        for r in canonicalize.connected_components(
+            df, local_finish_edges=local_finish
+        ).collect()
     }
     nodes = sorted({x for e in edges for x in e})
     want = _union_find_components([e for e in edges if e[0] != e[1]], nodes)
@@ -128,6 +133,53 @@ def test_connected_components_vs_union_find(spark, edges):
     for n in nodes:
         if any(a != b and n in (a, b) for a, b in edges):
             assert got[n] == want[n], (n, got.get(n), want[n])
+
+
+def test_cc_local_finish_gate_boundary_and_markers(spark):
+    """The hybrid finisher fires exactly at frontier ≤ local_finish_edges —
+    immediately when the input already fits (rounds == 0), mid-iteration
+    once a star round contracts under the bar — and stamps resume_info so
+    runs are auditable. All paths must agree exactly."""
+    from x5_ner_spark.pipeline import canonicalize
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )  # 40-edge chain; star rounds contract it fast
+
+    def run(threshold):
+        info: dict = {}
+        rows = sorted(
+            map(tuple, canonicalize.connected_components(
+                edges, resume_info=info, local_finish_edges=threshold
+            ).collect())
+        )
+        return rows, info
+
+    exact, it_info = run(0)
+    assert "local_finish_edges" not in it_info and it_info["rounds"] >= 3
+
+    at_bar, info = run(40)  # count == threshold → fires before any round
+    assert info == {"rounds": 0, "local_finish_edges": 40}
+    assert at_bar == exact
+
+    # a chain's star forest keeps n-1 edges, so its frontier never dips
+    # under the bar mid-loop — a clique contracts 190 → 19 in one round
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(20) for j in range(i + 1, 20)],
+        "src long, dst long",
+    )
+    info: dict = {}
+    mid = sorted(map(tuple, canonicalize.connected_components(
+        clique, resume_info=info, local_finish_edges=100
+    ).collect()))
+    assert info["rounds"] >= 1 and info["local_finish_edges"] <= 100
+    assert mid == [(n, 0) for n in range(20)]
+
+    # storage hygiene: the finisher releases the collected frontier's blocks
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    run(40)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= base
 
 
 def test_graph_write_and_resume(spark, pages, tmp_path):

@@ -18,8 +18,23 @@ plan doesn't grow across iterations.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+LOCAL_FINISH_EDGES = int(os.environ.get("X5_CC_LOCAL_FINISH_EDGES", "2000000"))
+"""Frontier size (edges) at or below which :func:`connected_components`
+finishes with a driver-side union-find instead of more star rounds. Each
+star round is a full Spark job whose cost has a fixed scheduler floor — at
+sandbox corpus sizes that floor, not data, dominates CC wall time (the
+r6-r8 dedup scaling legs bottomed at ~0.5 efficiency because every round
+costs the same at 2 and at 8 cores). The near-dup edge list is tiny
+relative to the corpus (rescored TRUE pairs only), so at 100 TB the same
+hybrid applies: iterate while the frontier is big — each round contracts
+it toward one edge per non-root node — and collect the moment it fits.
+The collect is bounded by construction: 2 longs/row → ≤ ~32 MB at the
+default. 0 disables the finisher (pure iterative path)."""
 
 
 def _ckpt_rdd(df: DataFrame):
@@ -76,10 +91,64 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _finish_local(e: DataFrame, rounds: int, resume_info: dict | None) -> DataFrame:
+    """Driver-side union-find over a frontier known to be ≤
+    :data:`LOCAL_FINISH_EDGES` rows (the caller checked the count it already
+    had from the convergence signature — the gate costs zero extra jobs).
+    Star rounds preserve both connectivity and the node set (Kiveris et al.
+    §3: every endpoint of a frontier edge reappears as a child or a parent),
+    so union-find on ANY intermediate frontier yields exactly the final
+    (node, component=min-id) mapping. Union-by-min + path halving keeps the
+    min node id at every root, so no relabel pass is needed; fully
+    deterministic (sorted unique node table, order-independent unions)."""
+    import numpy as np
+
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    blocks = _ckpt_rdd(e)
+    if blocks is not None:  # the returned frame no longer depends on e
+        blocks.unpersist(False)
+    if resume_info is not None:
+        resume_info["rounds"] = rounds
+        resume_info["local_finish_edges"] = int(len(pdf))
+    if not len(pdf):
+        return spark.createDataFrame([], "node long, component long")
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    parent = list(range(len(nodes)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(
+        np.searchsorted(nodes, src).tolist(), np.searchsorted(nodes, dst).tolist()
+    ):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN index; `nodes` is sorted, so root index == the
+            # component's minimum node id — the iterative path's labeling
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    comp = nodes[[find(i) for i in range(len(nodes))]]
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "component": comp}),
+        "node long, component long",
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20,
     checkpoint_dir: str | None = None, checkpoint_every: int = 5,
     checkpoint_buckets: int = 8, resume_info: dict | None = None,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """edges(src: long, dst: long) → (node: long, component: long) where
     component is the minimum node id of the component.
@@ -99,6 +168,12 @@ def connected_components(
     its buckets are overwritten when recomputed. ``resume_info`` (a dict)
     receives ``resumed_from_round`` when a checkpoint was used
     (crash-resume tested: results identical to the uninterrupted run).
+
+    ``local_finish_edges`` (default :data:`LOCAL_FINISH_EDGES`, 0 disables):
+    once the frontier — initial or after any round — fits under this edge
+    count, finish with a driver-side union-find instead of more rounds
+    (:func:`_finish_local`; exact, same min-id labeling). ``resume_info``
+    then also carries ``local_finish_edges`` (the collected count).
     """
     spark = edges.sparkSession
     e = None
@@ -142,8 +217,14 @@ def connected_components(
         ).first()
         return (r["n"], r["h"])
 
+    threshold = LOCAL_FINISH_EDGES if local_finish_edges is None else local_finish_edges
     sig = _sig(e)  # materializes the lazy checkpoint
     rounds = 0
+    if sig[0] <= threshold:
+        # hybrid finisher (see LOCAL_FINISH_EDGES): the frontier count came
+        # free with the signature job, so the gate adds no work — collect
+        # and union-find instead of O(log n) more scheduler round-trips
+        return _finish_local(e, rounds, resume_info)
     for i in range(start_round, max_iter):
         e2 = _small_star(_large_star(e)).distinct().localCheckpoint(eager=False)
         sig2 = _sig(e2)  # one job: computes the round, stores its blocks,
@@ -155,6 +236,11 @@ def connected_components(
             # release the superseded frontier's blocks — storage stays
             # bounded by two frontiers regardless of round count
             prev.unpersist(False)
+        if sig2[0] <= threshold and sig2 != sig:
+            # contracted into collect range mid-iteration (converged
+            # frontiers fall through to the declarative members∪roots path,
+            # which costs no further full passes)
+            return _finish_local(e, rounds, resume_info)
         if sig2 == sig:
             break
         sig = sig2
