@@ -289,7 +289,9 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ref process_submission.py:78-82), E3 error buckets (ref
     diff_analyser.py:30-91), and W1/J5 next-row prefix comparison over a
     global total order (moved here from the standalone lead_prefix entry in
-    r7 to free the slot for crf_decode — coverage unchanged). Scalar-only
+    r7 to free the slot for crf_decode — coverage unchanged), plus (r8) the
+    substring-level dedup spans facet (repeated-n-gram ranges, Lee et al.
+    2021 shape — operators/dedup.repeated_ngram_spans). Scalar-only
     surface (facet, key, sub, txt, num); num is always double so the union
     column has one dtype on both engines."""
     docs = _t(spark, sf_dir, "documents")
@@ -353,11 +355,22 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("txt"),
         F.col("n").cast("double").alias("num"),
     )
+    # r8: substring-level exact dedup (Lee et al. repeated-n-gram spans,
+    # operators/dedup.repeated_ngram_spans) — merged token ranges covered
+    # by corpus-repeated 8-grams, one row per span, end exclusive
+    dup_spans = dedup.repeated_ngram_spans(docs, n=8, min_count=2).select(
+        F.lit("dup_ngrams").alias("facet"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("span_start").cast("string").alias("sub"),
+        F.lit("").alias("txt"),
+        F.col("span_end").cast("double").alias("num"),
+    )
     return (
         sort_limit.unionByName(group_sizes)
         .unionByName(summary)
         .unionByName(buckets)
         .unionByName(lead_pref)
+        .unionByName(dup_spans)
     )
 
 
@@ -2016,6 +2029,37 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(CASE WHEN substr(text, 1, 3) = substr(next_text, 1, 3)
                                THEN 1 ELSE 0 END) AS DOUBLE)
           FROM w WHERE next_text IS NOT NULL)
+        UNION ALL
+        SELECT 'dup_ngrams', CAST(doc_id AS VARCHAR), CAST(span_start AS VARCHAR),
+               '', CAST(span_end AS DOUBLE)
+        FROM (
+          -- repeated-8-gram spans: grams MATERIALIZED (it is read twice;
+          -- plain CTEs are inlined and the md5 work would double)
+          WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+            FROM documents),
+          g AS MATERIALIZED (
+            SELECT doc_id, i - 1 AS s,
+                   {_H32.format(x="array_to_string(toks[i:i+7], ' ')")} AS gh
+            FROM toks, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)
+            WHERE len(toks) >= 8),
+          hot AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+          occ AS (SELECT doc_id, s, s + 8 AS e FROM g JOIN hot USING (gh)),
+          isl AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS ni
+            FROM occ),
+          isl2 AS (
+            SELECT doc_id, s, e, SUM(ni) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl)
+          SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+          FROM isl2 GROUP BY doc_id, island)
     """
 
     return sql

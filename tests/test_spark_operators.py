@@ -470,3 +470,74 @@ def test_minhash_signature_agreement_estimates_jaccard(spark):
         )
         observed.append(agree)
     assert observed[0] > observed[1] > observed[2]
+
+
+# ---------------------------------------------------------------- substring dedup
+
+
+def _py_repeated_ngram_spans(texts, n, min_count):
+    """Pure-python oracle for dedup.repeated_ngram_spans: corpus n-gram
+    occurrence counts -> per-doc covered windows -> merged (touching spans
+    coalesce: a new island starts only when start > running max end)."""
+    from collections import Counter
+
+    toks = {
+        d: [t for t in text.lower().split(" ") if t] for d, text in texts.items()
+    }
+    cnt = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - n + 1):
+            cnt[" ".join(ts[i : i + n])] += 1
+    out = []
+    for d, ts in sorted(toks.items()):
+        merged = []
+        for i in range(len(ts) - n + 1):
+            if cnt[" ".join(ts[i : i + n])] < min_count:
+                continue
+            if merged and i <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], i + n)
+            else:
+                merged.append([i, i + n])
+        out += [(d, s, e) for s, e in merged]
+    return sorted(out)
+
+
+@pytest.mark.parametrize("n,min_count", [(3, 2), (4, 3), (8, 2)])
+def test_repeated_ngram_spans_vs_python(spark, n, min_count):
+    from x5_ner_spark.operators.dedup import repeated_ngram_spans
+
+    boiler = "all rights reserved contact us for licensing details today"
+    texts = {
+        1: f"unique alpha opening words {boiler} and some unique tail one",
+        2: f"{boiler} then a different middle section {boiler}",  # in-doc repeat
+        3: "completely unrelated body with no shared phrases at all here",
+        4: f"prefix {boiler} suffix",
+        5: "short doc",  # < n tokens: contributes nothing
+        6: "the the the the the the the the the the",  # self-repeating gram
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_ngram_spans(df, n=n, min_count=min_count).collect()
+    )
+    assert got == _py_repeated_ngram_spans(texts, n, min_count)
+
+
+def test_repeated_ngram_spans_plan_is_bounded(spark):
+    """No cartesian products, no corpus-sized broadcast: the hot-gram join
+    must be a shuffle join keyed on the gram hash."""
+    from x5_ner_spark.operators.dedup import repeated_ngram_spans
+
+    df = spark.createDataFrame(
+        [(i, "common boilerplate phrase repeated verbatim in every single page here")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = repeated_ngram_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    spans = repeated_ngram_spans(df).collect()
+    # identical 10-token docs: one merged span covering every token each
+    assert sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in spans) \
+        == [(i, 0, 10) for i in range(30)]

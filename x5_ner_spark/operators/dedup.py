@@ -29,7 +29,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.columns import cosine_similarity_col, portable_hash32, simple_tokens_col
@@ -357,6 +357,77 @@ def near_dup_clusters_lsh(
     cand = minhash_candidate_pairs(docs, k, n_hashes, band_size, max_bucket)
     rescored = jaccard_rescore(docs, cand, k, threshold)
     return near_dup_clusters(docs, rescored, quality_col=quality_col)
+
+
+def repeated_ngram_spans(
+    docs: DataFrame, n: int = 8, min_count: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Substring-level exact dedup (the Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" shape, re-expressed as
+    declarative DataFrame ops instead of a suffix array): find every
+    maximal token span covered by ``n``-gram windows that occur ≥
+    ``min_count`` times across the WHOLE corpus — the ranges a training
+    pipeline clips out of otherwise-unique pages (boilerplate, licenses,
+    quoted reposts that doc-level MinHash never sees).
+
+    Plan: tokens → all token ``n``-grams with their start index (map-only:
+    transform over a sequence, no explode-then-window) → global occurrence
+    count on the 32-bit portable gram hash (partial agg folds repeats
+    map-side, so the exchange carries one row per DISTINCT gram per input
+    partition) → hash-join the hot grams back onto occurrences (shuffle
+    join on the hash — the hot set at web scale is huge, never broadcast;
+    AQE splits skewed boilerplate grams) → per-doc gaps-and-islands merge
+    of overlapping windows (window partitioned BY doc, bounded by doc
+    length). Output: one row per merged span — (doc_id, span_start,
+    span_end) in token indices, end exclusive — deterministic.
+
+    Memory/scale notes: nothing quadratic anywhere; the only corpus-sized
+    exchanges carry (hash) or (doc_id, start) longs. A 32-bit hash collides
+    eventually at 10^12 docs — collisions only ever ADD a span (a false
+    "repeated" mark), never drop one, matching the conservative direction
+    for dedup; widen to md5 if exactness matters more than width.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simple_tokens_col(F.lower(text_col)).alias("toks"),
+    ).withColumn("m", F.size("toks")).filter(F.col("m") >= n)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("m") - n),
+                lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+            )
+        ).alias("start", "gram"),
+    ).select("doc_id", "start", portable_hash32(F.col("gram")).alias("gh"))
+    hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= min_count
+    ).select("gh")
+    occ = grams.join(hot, "gh").select(
+        "doc_id", "start", (F.col("start") + n).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = occ.withColumn(
+        "ni",
+        F.when(
+            F.col("start") > F.coalesce(prev_max_end, F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
