@@ -526,8 +526,9 @@ def test_repeated_ngram_spans_vs_python(spark, n, min_count):
 
 
 def test_repeated_ngram_spans_plan_is_bounded(spark):
-    """No cartesian products, no corpus-sized broadcast: the hot-gram join
-    must be a shuffle join keyed on the gram hash."""
+    """Single-scan shape: the corpus is tokenized/gram-hashed exactly once
+    (one Generate), the global gram count is a window over one gh exchange
+    (no join of any kind), and nothing is cartesian or broadcast-sized."""
     from x5_ner_spark.operators.dedup import repeated_ngram_spans
 
     df = spark.createDataFrame(
@@ -537,6 +538,9 @@ def test_repeated_ngram_spans_plan_is_bounded(spark):
     )
     plan = repeated_ngram_spans(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning") == 2  # gh, then doc_id
     spans = repeated_ngram_spans(df).collect()
     # identical 10-token docs: one merged span covering every token each
     assert sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in spans) \

@@ -372,15 +372,28 @@ def repeated_ngram_spans(
     quoted reposts that doc-level MinHash never sees).
 
     Plan: tokens → all token ``n``-grams with their start index (map-only:
-    transform over a sequence, no explode-then-window) → global occurrence
-    count on the 32-bit portable gram hash (partial agg folds repeats
-    map-side, so the exchange carries one row per DISTINCT gram per input
-    partition) → hash-join the hot grams back onto occurrences (shuffle
-    join on the hash — the hot set at web scale is huge, never broadcast;
-    AQE splits skewed boilerplate grams) → per-doc gaps-and-islands merge
-    of overlapping windows (window partitioned BY doc, bounded by doc
-    length). Output: one row per merged span — (doc_id, span_start,
-    span_end) in token indices, end exclusive — deterministic.
+    transform over a sequence, no explode-then-window) → ONE exchange on
+    the 32-bit portable gram hash where `count(*) over (partition by gh)`
+    computes each gram's GLOBAL count in place (all occurrences of a hash
+    are co-located, so the partition count IS the corpus count) → filter
+    `count ≥ min_count` → per-doc gaps-and-islands merge of overlapping
+    windows (window partitioned BY doc, bounded by doc length). Output:
+    one row per merged span — (doc_id, span_start, span_end) in token
+    indices, end exclusive — deterministic.
+
+    Why window-count instead of the textbook groupBy + hot-set join: the
+    count branch of the join shape re-derives the grams (column pruning
+    strips doc_id/start from it, so the exchange subplans never
+    canonicalize equal and ReusedExchange cannot fire) — the corpus would
+    be scanned, tokenized, and md5-hashed TWICE, and the hot set at web
+    scale is far too large to broadcast, so the probe side pays the same
+    occurrence-sized exchange anyway. The window shape does one scan, one
+    md5 pass, one corpus-sized exchange, zero joins — pinned by the plan
+    test (single Generate, no join, exactly two exchanges). Trade: AQE
+    skew-join splitting does not apply to windows, so a hyper-hot gram's
+    occurrence list sorts inside one task (WindowExec spills; ~10^8
+    occurrences ≈ low GBs — see SCALE.md §repeated-ngram-spans for the
+    boundary and the join-shape fallback analysis).
 
     Memory/scale notes: nothing quadratic anywhere; the only corpus-sized
     exchanges carry (hash) or (doc_id, start) longs. A 32-bit hash collides
@@ -401,11 +414,12 @@ def repeated_ngram_spans(
             )
         ).alias("start", "gram"),
     ).select("doc_id", "start", portable_hash32(F.col("gram")).alias("gh"))
-    hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).filter(
-        F.col("cnt") >= min_count
-    ).select("gh")
-    occ = grams.join(hot, "gh").select(
-        "doc_id", "start", (F.col("start") + n).alias("end")
+    occ = (
+        grams.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("cnt") >= min_count)
+        .select("doc_id", "start", (F.col("start") + n).alias("end"))
     )
     w = Window.partitionBy("doc_id").orderBy("start")
     prev_max_end = F.max("end").over(
