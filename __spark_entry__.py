@@ -25,6 +25,7 @@ from x5_ner_spark.operators import (
     dedup,
     eval_ops,
     graph_ops,
+    lm,
     similarity,
     text_stats,
     windows,
@@ -358,6 +359,16 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: substring-level exact dedup (Lee et al. repeated-n-gram spans,
     # operators/dedup.repeated_ngram_spans) — merged token ranges covered
     # by corpus-repeated 8-grams, one row per span, end exclusive
+    # r8: CCNet-shape bigram-LM scoring (operators/lm.py) — per-doc NLL in
+    # nats/token; the value is an integer micro-nat sum so it is exactly
+    # reproducible on the DuckDB side (see lm.py module doc)
+    lm_rows = lm.lm_perplexity(docs).select(
+        F.lit("lm_nll").alias("facet"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("nll").alias("sub"),
+        F.lit("").alias("txt"),
+        F.col("nll").alias("num"),
+    )
     dup_spans = dedup.repeated_ngram_spans(docs, n=8, min_count=2).select(
         F.lit("dup_ngrams").alias("facet"),
         F.col("doc_id").cast("string").alias("key"),
@@ -371,6 +382,7 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(buckets)
         .unionByName(lead_pref)
         .unionByName(dup_spans)
+        .unionByName(lm_rows)
     )
 
 
@@ -2060,6 +2072,37 @@ def oracle_sql() -> dict[str, str]:
             FROM isl)
           SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
           FROM isl2 GROUP BY doc_id, island)
+        UNION ALL
+        SELECT 'lm_nll', CAST(doc_id AS VARCHAR), 'nll', '', nll
+        FROM (
+          -- add-one bigram LM, BOS context, per-token log-probs quantized
+          -- to integer micro-nats before the per-doc sum (order-free; see
+          -- operators/lm.py). bg is read 3x -> MATERIALIZED per CLAUDE.md.
+          WITH ltoks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+            FROM documents),
+          bg AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS prev,
+                   toks[i] AS cur
+            FROM ltoks, LATERAL unnest(generate_series(1, len(toks))) AS u(i)),
+          bgc AS MATERIALIZED (
+            SELECT prev, cur, COUNT(*) AS c_bg FROM bg GROUP BY prev, cur),
+          ctxc AS MATERIALIZED (
+            SELECT prev, COUNT(*) AS c_ctx FROM bg GROUP BY prev),
+          v AS MATERIALIZED (SELECT COUNT(DISTINCT cur) AS nv FROM bg),
+          lp AS (
+            SELECT doc_id,
+                   CAST(ROUND(ln(CAST(c_bg + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   - CAST(ROUND(ln(CAST(c_ctx + nv AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS lp_u
+            FROM bg JOIN bgc USING (prev, cur) JOIN ctxc USING (prev)
+            CROSS JOIN v)
+          SELECT doc_id,
+                 ROUND(-CAST(SUM(lp_u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       / 1000000.0, 4) AS nll
+          FROM lp GROUP BY doc_id)
     """
 
     return sql
