@@ -266,7 +266,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_stats.quality_scores(_t(spark, sf_dir, "documents"))
+    """Rule-based quality features + the learned-classifier serving facet:
+    ``learned_q`` runs quality_train.quality_score_col (hashed-presence
+    logistic regression, zero-UDF Column serving) under the deterministic
+    stopword-lexicon weights so DuckDB can replay the exact expression —
+    training itself is pinned by tests/test_quality_train.py."""
+    from x5_ner_spark.operators.quality_train import lexicon_quality_model
+
+    return text_stats.quality_scores(
+        _t(spark, sf_dir, "documents"), learned=lexicon_quality_model()
+    )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1858,16 +1867,30 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     """
 
-    sql["quality"] = r"""
+    # learned_q facet: the quality_train.quality_score_col serving expression
+    # under the deterministic stopword-lexicon model (w[bucket]=1.0, b=-0.5);
+    # the bucket set is computed by the same python md5 twin the Column uses.
+    from x5_ner_spark.operators.quality_train import lexicon_quality_model
+
+    _qw, _qb = lexicon_quality_model()
+    _qdim = len(_qw)
+    _qbuckets = ", ".join(str(i) for i, v in enumerate(_qw) if v)
+    sql["quality"] = rf"""
         WITH d AS (
           SELECT doc_id, length(text) AS n_chars_m,
                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
                  ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
                        * 1.0 / length(text), 4) AS digit_ratio,
                  ROUND((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
-                       * 1.0 / length(text), 4) AS punct_ratio
+                       * 1.0 / length(text), 4) AS punct_ratio,
+                 len(list_filter(
+                       list_distinct(list_transform(
+                         list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                         x -> {_H32.format(x="x")} % {_qdim})),
+                       bkt -> list_contains([{_qbuckets}], bkt))) AS stop_bkts
           FROM documents)
         SELECT doc_id, n_chars_m, n_tokens, digit_ratio, punct_ratio,
+               ROUND(1.0 / (1.0 + exp(-({repr(_qb)} + stop_bkts))), 4) AS learned_q,
                ROUND((CASE WHEN n_tokens < 5 THEN 0.2 ELSE 1.0 END)
                      * (1.0 - LEAST(digit_ratio * 2, 1.0))
                      * (1.0 - LEAST(punct_ratio * 2, 1.0)), 4) AS quality

@@ -1,0 +1,142 @@
+"""Learned quality classifier (operators/quality_train.py): gradient
+correctness, distillation accuracy floor vs the gopher rule labels,
+zero-UDF Column-serving parity with the numpy forward, reproducibility."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from x5_ner_spark.operators import quality_train as qt
+
+
+def test_gradients_match_finite_differences():
+    rng = np.random.RandomState(3)
+    x = rng.rand(12, 7)
+    y = (rng.rand(12) > 0.5).astype(np.float64)
+    w = rng.randn(7) * 0.1
+    b = 0.3
+    _, gw, gb = qt._loss_and_grads(w, b, x, y, 0.0)
+    eps = 1e-6
+    for j in range(7):
+        wp, wm = w.copy(), w.copy()
+        wp[j] += eps
+        wm[j] -= eps
+        lp, _, _ = qt._loss_and_grads(wp, b, x, y, 0.0)
+        lm_, _, _ = qt._loss_and_grads(wm, b, x, y, 0.0)
+        assert gw[j] == pytest.approx((lp - lm_) / (2 * eps), rel=1e-4, abs=1e-7)
+    lp, _, _ = qt._loss_and_grads(w, b + eps, x, y, 0.0)
+    lm_, _, _ = qt._loss_and_grads(w, b - eps, x, y, 0.0)
+    assert gb == pytest.approx((lp - lm_) / (2 * eps), rel=1e-4, abs=1e-7)
+
+
+def test_hash_bucket_matches_column_helper(spark):
+    from pyspark.sql import functions as F
+
+    from x5_ner_spark.functions.columns import portable_hash32
+
+    toks = ["the", "Ёлка", "zzz", "a1!", "кошка"]
+    df = spark.createDataFrame([(t,) for t in toks], ["t"])
+    got = {
+        r["t"]: r["h"]
+        for r in df.select(
+            "t", F.pmod(portable_hash32("t"), F.lit(256)).alias("h")
+        ).collect()
+    }
+    for t in toks:
+        assert got[t] == qt.hash_bucket(t, 256)
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    labeled = qt.gopher_labels(docs)
+    history: list[float] = []
+    w, b = qt.fit_quality_classifier(
+        labeled, dim=2048, iters=60, lr=2.0, l2=1e-4, loss_history=history
+    )
+    return docs, labeled, w, b, history
+
+
+def test_loss_decreases_and_distills_gopher(spark, trained):
+    docs, labeled, w, b, history = trained
+    assert history[-1] < history[0] * 0.9
+    rows = (
+        qt.score_quality(docs, w, b)
+        .join(labeled.select("doc_id", "label"), "doc_id")
+        .collect()
+    )
+    assert len(rows) > 0
+    acc = sum(
+        1 for r in rows if (r["q_score"] >= 0.5) == (r["label"] >= 0.5)
+    ) / len(rows)
+    majority = max(
+        sum(1 for r in rows if r["label"] >= 0.5),
+        sum(1 for r in rows if r["label"] < 0.5),
+    ) / len(rows)
+    # the linear probe must beat always-guess-majority and clear a floor
+    assert acc >= 0.85
+    assert acc > majority or majority > 0.99
+
+
+def test_column_serving_matches_numpy_forward(spark, trained):
+    docs, _, w, b, _ = trained
+    sample = docs.limit(20).collect()
+    got = {
+        r["doc_id"]: r["q_score"]
+        for r in qt.score_quality(spark.createDataFrame(sample), w, b).collect()
+    }
+    x = qt.featurize_texts([r["text"] for r in sample], len(w))
+    z = x @ w + b
+    for r, zi in zip(sample, z):
+        want = 1.0 / (1.0 + math.exp(-zi))
+        assert got[r["doc_id"]] == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+def test_training_reproducible(spark):
+    """pid-sorted gradient reduction: bit-identical across reruns of the
+    same partitioning; approximately equal across partitionings (float
+    addition order legitimately differs when rows move between partitions —
+    same contract as ctx_train's pid-ordered sums)."""
+    rows = [(f"doc {i} " + ("good text " * (i % 5)), float(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["text", "label"]).repartition(7)
+    w1, b1 = qt.fit_quality_classifier(df, dim=64, iters=5)
+    w2, b2 = qt.fit_quality_classifier(df, dim=64, iters=5)
+    assert b1 == b2
+    assert np.array_equal(w1, w2)
+    w3, b3 = qt.fit_quality_classifier(df.repartition(3), dim=64, iters=5)
+    assert b3 == pytest.approx(b1, rel=1e-9)
+    np.testing.assert_allclose(w3, w1, rtol=1e-9, atol=1e-12)
+
+
+def test_save_load_roundtrip(tmp_path, spark, trained):
+    _, _, w, b, _ = trained
+    p = qt.save_quality_npz(w, b, str(tmp_path / "q.npz"))
+    w2, b2 = qt.load_quality_npz(p)
+    assert b2 == b and np.array_equal(w2, w)
+
+
+def test_labeling_and_serving_map_only(spark, sf_dir):
+    """Both corpus-scale passes — weak-supervision labeling and classifier
+    serving — must be shuffle-free projections (no corpus self-join)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.plan_audit import op_counts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert op_counts(qt.gopher_labels(docs)).get("Exchange", 0) == 0
+    assert (
+        op_counts(qt.score_quality(docs, np.zeros(16), 0.0)).get("Exchange", 0) == 0
+    )
+
+
+def test_empty_doc_scores_sigmoid_b(spark):
+    w = np.zeros(16)
+    df = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    got = qt.score_quality(df, w, 0.4).collect()
+    for r in got:
+        assert r["q_score"] == pytest.approx(1.0 / (1.0 + math.exp(-0.4)), abs=1e-12)

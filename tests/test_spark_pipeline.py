@@ -247,6 +247,38 @@ def test_run_pipeline_dedup_flag(spark, pages):
     out["triples"].unpersist()
 
 
+def test_run_pipeline_quality_flag(spark, pages, tmp_path):
+    """run_pipeline(quality_npz=...) drops low-scoring pages from BOTH the
+    doc table and the triple stage before inference. Uses the deterministic
+    lexicon checkpoint (training is pinned by test_quality_train); the
+    planted junk page has zero stopwords → sigmoid(-0.5) ≈ 0.38 < 0.5."""
+    from x5_ner_spark.operators import quality_train as QT
+
+    w, b = QT.lexicon_quality_model()
+    npz = QT.save_quality_npz(w, b, str(tmp_path / "q.npz"))
+    junk_text = "junkword0 junkword1 junkword2 junkword3"
+    # precondition: no junk token may hash-collide into a stopword bucket
+    assert all(w[QT.hash_bucket(t, len(w))] == 0.0 for t in junk_text.split())
+    junk = spark.createDataFrame(
+        [("junk://q1", None, None, junk_text, "ru")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    aug = pages.select("url", "warc_ts", "html", "text", "lang").unionByName(junk)
+    expected = {
+        r["url"]
+        for r in extract.run(aug)
+        .filter(QT.quality_score_col(w, b) >= 0.5)
+        .select("url")
+        .collect()
+    }
+    assert "junk://q1" not in expected and len(expected) > 0
+    out = run_pipeline(spark, aug, quality_npz=npz, quality_min=0.5)
+    assert {r["url"] for r in out["docs"].select("url").collect()} == expected
+    trip_urls = {r["url"] for r in out["triples"].select("url").distinct().collect()}
+    assert "junk://q1" not in trip_urls
+    out["triples"].unpersist()
+
+
 def test_lsh_valve_default_on():
     """near_dup_clusters_lsh carries the production hub-skew default; the
     candidate generator stays exact-by-default for the oracle surface."""

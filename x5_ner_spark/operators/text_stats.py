@@ -52,19 +52,28 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, learned=None) -> DataFrame:
     """Quality features: length, token count, mean token length, digit ratio,
-    punct ratio, stopword ratio; composite score in [0,1]."""
+    punct ratio, stopword ratio; composite score in [0,1]. Optional
+    ``learned=(w, b)`` appends ``learned_q`` — the zero-UDF classifier
+    serving expression (operators/quality_train.quality_score_col), still
+    one map-only projection."""
     toks = F.size(simple_tokens_col("text"))
     n = F.length("text")
     digits = n - F.length(F.regexp_replace("text", "[0-9]", ""))
     punct = n - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    extra = []
+    if learned is not None:
+        from .quality_train import quality_score_col
+
+        extra = [F.round(quality_score_col(*learned), 4).alias("learned_q")]
     d = docs.select(
         "doc_id",
         n.alias("n_chars_m"),
         toks.alias("n_tokens"),
         F.round(digits / n, 4).alias("digit_ratio"),
         F.round(punct / n, 4).alias("punct_ratio"),
+        *extra,
     )
     score = (
         F.when(F.col("n_tokens") < 5, 0.2).otherwise(1.0)
@@ -128,7 +137,7 @@ GOPHER_MIN_STOPWORD_HITS = 1       # Gopher: 2 of a fixed list
 _LETTER_CLASS = "[A-Za-zА-Яа-яё]"
 
 
-def gopher_filters(docs: DataFrame) -> DataFrame:
+def gopher_filters(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Gopher-style document quality filter — the standard LLM-training
     corpus hygiene pass: word-count bounds, mean word length, alphabetic-word
     fraction, duplicate-3-gram fraction (within-doc repetition), stopword
@@ -137,11 +146,13 @@ def gopher_filters(docs: DataFrame) -> DataFrame:
     Entirely native higher-order-function expressions over the token array —
     no explode, no shuffle, no Python: at 100 TB this runs inside the scan's
     projection (map-only, codegen), and the drop decision streams with the
-    row. Line-based rules (bullet/ellipsis line fractions) are not
-    replicated because the corpus schema's text is single-line; documented
-    deviation."""
+    row. ``carry`` threads extra input columns through (so consumers like
+    quality_train.gopher_labels stay map-only instead of re-joining the
+    corpus on doc_id). Line-based rules (bullet/ellipsis line fractions) are
+    not replicated because the corpus schema's text is single-line;
+    documented deviation."""
     toks = simple_tokens_col("text")
-    d = docs.select("doc_id", F.col("text"), toks.alias("toks"))
+    d = docs.select("doc_id", *carry, toks.alias("toks"))
     n_words = F.size("toks")
     sum_len = F.aggregate(
         F.transform("toks", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
@@ -159,6 +170,7 @@ def gopher_filters(docs: DataFrame) -> DataFrame:
 
     d = d.select(
         "doc_id",
+        *carry,
         n_words.alias("n_words"),
         F.round(sum_len / n_words, 4).alias("mean_word_len"),
         F.round(alpha_words / n_words, 4).alias("alpha_word_frac"),

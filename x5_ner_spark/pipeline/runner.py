@@ -91,6 +91,8 @@ def run_pipeline(
     emission_npz: str | None = None,
     dedup: bool = False,
     dedup_max_bucket: int | None = -1,
+    quality_npz: str | None = None,
+    quality_min: float = 0.5,
 ) -> dict[str, DataFrame]:
     """Returns the stage DataFrames; writes stage tables + manifests when
     ``out_root`` is given (checkpoint-resume per graph.write_stage).
@@ -99,11 +101,24 @@ def run_pipeline(
     between extraction and inference — the hub-skew valve is ON by default
     there (``dedup_max_bucket`` overrides, same contract as
     near_dup_clusters_lsh: None = valve off, int = cap, -1 = unset/default;
-    VERDICT r7 #7)."""
+    VERDICT r7 #7).
+
+    ``quality_npz`` inserts the learned-quality page filter AFTER dedup
+    (the standard curation order: dedup first so boilerplate clusters don't
+    dominate, classifier second): pages scoring below ``quality_min`` under
+    the operators/quality_train checkpoint are dropped before inference.
+    The filter is a map-only Column expression — zero extra shuffles on the
+    ingestion path (train the checkpoint with ``--fit-quality``)."""
     docs = extract.run(pages)
     if dedup:
         docs = dedup_docs(docs, max_bucket=dedup_max_bucket)
         # the fused triple stage re-reads PAGES; restrict it to the kept urls
+        pages = pages.join(docs.select("url"), "url", "left_semi")
+    if quality_npz:
+        from ..operators import quality_train as QT
+
+        qw, qb = QT.load_quality_npz(quality_npz)
+        docs = docs.filter(QT.quality_score_col(qw, qb) >= float(quality_min))
         pages = pages.join(docs.select("url"), "url", "left_semi")
     lex = brand_lexicon if brand_lexicon is not None else [b for b in BRANDS]
     # `men` is a lazy plan for callers that want the span table; triple
@@ -193,8 +208,18 @@ def main() -> None:
         help="TRAIN mode: joint exact-NLL fit of emission MLP + CRF on "
              "stub-teacher tag sequences; saves OUT_NPZ and exits",
     )
+    ap.add_argument(
+        "--fit-quality", default=None, metavar="OUT_NPZ",
+        help="TRAIN mode: distributed logistic-regression fit of the "
+             "learned quality classifier on gopher-rule-distilled labels "
+             "over the input pages; saves OUT_NPZ (servable via "
+             "--quality-npz) and exits",
+    )
     ap.add_argument("--train-iters", type=int, default=30)
-    ap.add_argument("--train-lr", type=float, default=0.8)
+    ap.add_argument(
+        "--train-lr", type=float, default=None,
+        help="per-mode default: 0.8 (emission/crf), 2.0 (quality)",
+    )
     ap.add_argument(
         "--dedup", action="store_true",
         help="near-dup page filter before inference (MinHash-LSH clusters, "
@@ -205,6 +230,12 @@ def main() -> None:
         help="hub-skew valve cap for --dedup (default: "
              "operators/dedup.DEFAULT_MAX_BUCKET; 0 disables the valve)",
     )
+    ap.add_argument(
+        "--quality-npz", default=None,
+        help="learned quality-classifier checkpoint (--fit-quality output); "
+             "pages scoring below --quality-min are dropped before inference",
+    )
+    ap.add_argument("--quality-min", type=float, default=0.5)
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -221,16 +252,34 @@ def main() -> None:
         lex = sorted(read_lexicon_set(spark, cfg["brand_lexicon_path"]))
     pages = spark.read.parquet(pages_path) if pages_path else pages_df(spark, n_pages)
 
+    if args.fit_quality:
+        from . import extract
+        from ..operators import quality_train as QT
+
+        lr = args.train_lr if args.train_lr is not None else 2.0
+        docs = extract.run(pages).select(F.col("url").alias("doc_id"), "text")
+        hist: list = []
+        qw, qb = QT.fit_quality_classifier(
+            QT.gopher_labels(docs), iters=args.train_iters, lr=lr,
+            loss_history=hist,
+        )
+        saved = QT.save_quality_npz(qw, qb, args.fit_quality)
+        print({"mode": "fit_quality", "out": saved,
+               "iters": len(hist), "loss_first": round(hist[0], 4),
+               "loss_last": round(hist[-1], 4)})
+        return
+
     if args.fit_emission or args.fit_crf:
         from . import extract
         from ..operators import emission_train as ET
 
+        lr = args.train_lr if args.train_lr is not None else 0.8
         docs = extract.run(pages).select("text")
         hist: list = []
         if args.fit_emission:
             saved = ET.fit_npz_emission(
                 ET.teacher_labels(docs), args.fit_emission,
-                iters=args.train_iters, lr=args.train_lr, loss_history=hist,
+                iters=args.train_iters, lr=lr, loss_history=hist,
             )
             print({"mode": "fit_emission", "out": saved,
                    "iters": len(hist), "loss_first": round(hist[0], 4),
@@ -238,7 +287,7 @@ def main() -> None:
         else:
             saved = ET.fit_crf_npz(
                 ET.teacher_sequences(docs), args.fit_crf,
-                iters=args.train_iters, lr=args.train_lr, loss_history=hist,
+                iters=args.train_iters, lr=lr, loss_history=hist,
             )
             print({"mode": "fit_crf", "out": saved,
                    "iters": len(hist), "loss_first": round(hist[0], 4),
@@ -253,6 +302,8 @@ def main() -> None:
         # CLI keeps 0 = "disable the valve" (argparse cannot pass None);
         # the library contract below is None = off, -1 = unset
         dedup_max_bucket=None if args.dedup_max_bucket == 0 else args.dedup_max_bucket,
+        quality_npz=args.quality_npz,
+        quality_min=args.quality_min,
     )
     print({k: v.count() for k, v in out.items()})
 
