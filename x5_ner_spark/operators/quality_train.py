@@ -185,8 +185,17 @@ def quality_score_col(
     whole classifier is one map-side expression (empty docs score
     sigmoid(b))."""
     dim = int(len(w))
-    wlit = F.lit([float(v) for v in w])
-    toks = simple_tokens_col(F.lower(text_col))
+    # ONE parser call for the weight-array literal, not 2048 py4j lit()
+    # roundtrips: F.lit(list) builds the array element-by-element and costs
+    # ~1 s of DRIVER time per query construction at dim 2048 (measured; it
+    # dominated the whole sf0.1 scoring job). repr() round-trips doubles
+    # exactly and the SQL 'D' suffix parses back to the same bits (verified
+    # bitwise vs F.lit incl. denormals), so serving results are unchanged.
+    wlit = F.expr("array(" + ",".join(f"{float(v)!r}D" for v in w) + ")")
+    # distinct BEFORE hashing: one md5 per distinct token, not per token
+    # (identical bucket set — presence semantics); distinct again after,
+    # since distinct tokens can collide into one bucket
+    toks = F.array_distinct(simple_tokens_col(F.lower(text_col)))
     buckets = F.array_distinct(
         F.transform(
             toks,
