@@ -458,6 +458,13 @@ def scaling_child(cores: int) -> None:
         # 8 cores vs 13.2s at 2). At 100 TB the scan has thousands of
         # natural splits; a 4 MB split size is the sandbox equivalent.
         extra["spark.sql.files.maxPartitionBytes"] = str(4 << 20)
+    if os.environ.get("SPARK_GRAFT_SCALING_QUALITY"):
+        # same small-corpus split problem as the dedup leg: the ~40 MB
+        # feature table packs into 1-2 scan splits at the 128 MB default,
+        # so the cached gradient pass runs 1-2 tasks regardless of cores
+        # (measured eff 0.29). 1 MB splits ≈ the thousands of natural
+        # splits a 100 TB feature table has.
+        extra["spark.sql.files.maxPartitionBytes"] = str(1 << 20)
     spark = get_spark(master=f"local[{cores}]", app_name=f"x5-scaling-{cores}",
                       shuffle_partitions=max(2 * cores, 16), extra_conf=extra)
     # SPARK_GRAFT_SCALING_DEDUP=1: scale the PRODUCTION dedup path instead
@@ -465,6 +472,50 @@ def scaling_child(cores: int) -> None:
     # candidate pairs → exact rescore → CC → keeper) over a corpus with one
     # planted near-dup partner per doc. Same two-leg / same-input
     # discipline.
+    # SPARK_GRAFT_SCALING_QUALITY=1: scale the learned-quality TRAINING
+    # iteration path — per-iteration distributed sparse-gradient jobs over
+    # the persisted feature table (numpy BCE grads inside mapInPandas,
+    # fixed (dim+2)-double reduction to the driver; gradient traffic is
+    # corpus-size independent). The one-time featurize pass (extract +
+    # gopher labels + bucket sets) is materialized to parquet OFF the
+    # clock, same discipline as every other leg ("input fully on disk
+    # before the clock starts"): its stages are benched as queries
+    # (gopher_filters) and its sandbox ceiling is the shared single-JVM
+    # heap under interpreted-HOF allocation (BENCH/BASELINE.md r8), not
+    # this operator's machinery. 32 feature files → ≥32 scan tasks for
+    # both legs over the SAME bytes.
+    if os.environ.get("SPARK_GRAFT_SCALING_QUALITY"):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from x5_ner_spark.operators import quality_train as QT
+        from x5_ner_spark.pipeline import extract
+
+        feats_path = os.path.join(
+            tempfile.gettempdir(),
+            f"x5bench_qualfeats_{_fixture_version()}_"
+            f"{SCALING_PAGES}_{SCALING_SENTENCES}",
+        )
+        if not os.path.exists(os.path.join(feats_path, "_SUCCESS")):
+            pages = _pages_from_parquet(
+                spark, SCALING_PAGES, SCALING_SENTENCES, partitions=32
+            )
+            docs = extract.run(pages).select(F.col("url").alias("doc_id"), "text")
+            QT.featurize_table(QT.gopher_labels(docs), dim=2048).repartition(
+                32
+            ).write.mode("overwrite").parquet(feats_path)
+        feats = spark.read.parquet(feats_path)
+        iters = int(os.environ.get("SPARK_GRAFT_SCALING_QUALITY_ITERS", "20"))
+        t0 = time.time()
+        QT.fit_from_features(feats, dim=2048, iters=iters, lr=2.0)
+        dt = time.time() - t0
+        print(json.dumps({"cores": cores, "wall_sec": round(dt, 3),
+                          # docs/sec of gradient passes (n_pages × iters)
+                          "docs_per_sec": round(SCALING_PAGES * iters / dt, 1),
+                          "iters": iters, "variant": "quality"}))
+        spark.stop()
+        return
     if os.environ.get("SPARK_GRAFT_SCALING_DEDUP"):
         from x5_ner_spark.operators.dedup import near_dup_clusters_lsh
 
@@ -539,7 +590,9 @@ def run_scaling() -> dict:
         results[cores] = best
     ratio = hi / lo
     eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / ratio
-    if os.environ.get("SPARK_GRAFT_SCALING_DEDUP"):
+    if os.environ.get("SPARK_GRAFT_SCALING_QUALITY"):
+        variant = "quality"
+    elif os.environ.get("SPARK_GRAFT_SCALING_DEDUP"):
         variant = "dedup"
     elif os.environ.get("SPARK_GRAFT_SCALING_CTX"):
         variant = "ctx"

@@ -112,11 +112,66 @@ def test_training_reproducible(spark):
     np.testing.assert_allclose(w3, w1, rtol=1e-9, atol=1e-12)
 
 
+def test_fit_from_parquet_feature_table(tmp_path, spark):
+    """The production shape: featurize once → parquet → fit_from_features.
+    Must train to (approximately) the same model as the inline path — the
+    parquet roundtrip changes partitioning, so float sums differ in ulps."""
+    rows = [
+        (f"doc {i} " + ("the and good text " * (1 + i % 3)), float(i % 2))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["text", "label"])
+    w1, b1 = qt.fit_quality_classifier(df, dim=128, iters=8)
+    p = str(tmp_path / "feats.parquet")
+    qt.featurize_table(df, dim=128).write.parquet(p)
+    w2, b2 = qt.fit_from_features(spark.read.parquet(p), dim=128, iters=8)
+    assert b2 == pytest.approx(b1, rel=1e-9)
+    np.testing.assert_allclose(w2, w1, rtol=1e-9, atol=1e-12)
+
+
 def test_save_load_roundtrip(tmp_path, spark, trained):
     _, _, w, b, _ = trained
     p = qt.save_quality_npz(w, b, str(tmp_path / "q.npz"))
     w2, b2 = qt.load_quality_npz(p)
     assert b2 == b and np.array_equal(w2, w)
+
+
+def test_bucket_set_col_matches_python_twin(spark, sf_dir):
+    """The ONE featurization expression (training feature table AND serving)
+    must agree with the python twin used by featurize_texts/tests."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(30)
+    rows = docs.select("text", qt.bucket_set_col("text", 512).alias("bk")).collect()
+    assert len(rows) == 30
+    for r in rows:
+        want = sorted(
+            {
+                qt.hash_bucket(t, 512)
+                for t in (r["text"] or "").lower().split(" ")
+                if t
+            }
+        )
+        assert sorted(r["bk"]) == want
+
+
+def test_sparse_grads_match_dense(spark):
+    """_sparse_loss_and_grads over bucket sets ≡ _loss_and_grads over the
+    equivalent binary matrix (same math, no (n, dim) materialization)."""
+    rng = np.random.RandomState(11)
+    dim = 32
+    sets = [sorted(rng.choice(dim, size=rng.randint(0, 9), replace=False)) for _ in range(25)]
+    y = (rng.rand(25) > 0.4).astype(np.float64)
+    w = rng.randn(dim) * 0.3
+    b = -0.2
+    x = np.zeros((25, dim))
+    for i, s in enumerate(sets):
+        x[i, list(s)] = 1.0
+    loss_d, gw_d, gb_d = qt._loss_and_grads(w, b, x, y, 0.0)
+    flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in sets if len(s)] or [np.empty(0, np.int64)])
+    lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=25)
+    loss_s, gw_s, gb_s = qt._sparse_loss_and_grads(w, b, flat, lens, y)
+    assert loss_s == pytest.approx(loss_d, rel=1e-12)
+    assert gb_s == pytest.approx(gb_d, rel=1e-12)
+    np.testing.assert_allclose(gw_s, gw_d, rtol=1e-12, atol=1e-15)
 
 
 def test_labeling_and_serving_map_only(spark, sf_dir):
