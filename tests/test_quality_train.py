@@ -132,8 +132,46 @@ def test_fit_from_parquet_feature_table(tmp_path, spark):
 def test_save_load_roundtrip(tmp_path, spark, trained):
     _, _, w, b, _ = trained
     p = qt.save_quality_npz(w, b, str(tmp_path / "q.npz"))
-    w2, b2 = qt.load_quality_npz(p)
-    assert b2 == b and np.array_equal(w2, w)
+    w2, b2, ng = qt.load_quality_npz(p)
+    assert b2 == b and np.array_equal(w2, w) and ng == 1
+    p2 = qt.save_quality_npz(w, b, str(tmp_path / "q2.npz"), ngrams=2)
+    assert qt.load_quality_npz(p2)[2] == 2
+
+
+def test_bigram_bucket_col_matches_python_twin(spark):
+    texts = ["раз два три два", "один", "", "a b"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = df.select(
+        "text", qt.bucket_set_col("text", 512, ngrams=2).alias("bk")
+    ).collect()
+    for r in rows:
+        toks = [w for w in r["text"].lower().split(" ") if w]
+        want = {qt.hash_bucket(t, 512) for t in toks} | {
+            qt.hash_bucket(f"{a} {b}", 512) for a, b in zip(toks, toks[1:])
+        }
+        assert sorted(r["bk"]) == sorted(want)
+
+
+def test_bigram_features_separate_order_dependent_labels(spark):
+    """fastText's reason for word n-grams: two classes with IDENTICAL
+    unigram bags but different adjacency. The unigram model is blind
+    (features literally equal → accuracy 0.5); the bigram model separates."""
+    pos = "this is very bad indeed always"
+    neg = "this is bad very indeed always"  # same bag, shuffled adjacency
+    rows = [(f"{pos} filler{i}", 1.0) for i in range(20)] + [
+        (f"{neg} filler{i}", 0.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["text", "label"])
+    texts = [r[0] for r in rows]
+    y = np.array([r[1] for r in rows])
+
+    def acc(ngrams):
+        w, b = qt.fit_quality_classifier(df, dim=256, iters=40, ngrams=ngrams)
+        x = qt.featurize_texts(texts, 256, ngrams=ngrams)
+        return float((((x @ w + b) >= 0) == (y >= 0.5)).mean())
+
+    assert acc(1) == 0.5
+    assert acc(2) >= 0.95
 
 
 def test_bucket_set_col_matches_python_twin(spark, sf_dir):
@@ -187,6 +225,38 @@ def test_labeling_and_serving_map_only(spark, sf_dir):
     assert (
         op_counts(qt.score_quality(docs, np.zeros(16), 0.0)).get("Exchange", 0) == 0
     )
+
+
+def test_streaming_curation_equals_batch(spark, tmp_path, trained):
+    """The whole curation surface is stateless map-side Columns, so it must
+    run UNCHANGED on a stream: quality_score_col + the gopher keep verdict
+    over readStream ≡ the batch pass, row for row."""
+    from x5_ner_spark.operators import text_stats
+
+    docs, _, w, b, _ = trained
+    path = str(tmp_path / "qdocs")
+    docs.select("doc_id", "text").limit(50).repartition(4).write.parquet(path)
+    batch = spark.read.parquet(path)
+    want = {
+        (r["doc_id"], r["q_score"], r["keep"])
+        for r in qt.score_quality(batch, w, b)
+        .join(text_stats.gopher_filters(batch).select("doc_id", "keep"), "doc_id")
+        .collect()
+    }
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    scored = text_stats.gopher_filters(stream, carry=("text",)).select(
+        "doc_id", qt.quality_score_col(w, b).alias("q_score"), "keep"
+    )
+    q = (
+        scored.writeStream.format("memory").queryName("t_qual_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["q_score"], r["keep"])
+        for r in spark.table("t_qual_stream").collect()
+    }
+    assert got == want and len(want) == 50
 
 
 def test_empty_doc_scores_sigmoid_b(spark):

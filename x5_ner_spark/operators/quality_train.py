@@ -65,17 +65,42 @@ __all__ = [
 ]
 
 
-def bucket_set_col(text_col: str = "text", dim: int = 2048) -> Column:
+def bucket_set_col(
+    text_col: str = "text", dim: int = 2048, ngrams: int = 1
+) -> Column:
     """Distinct 0-based feature buckets of a text as a native Column:
     lower → whitespace split → distinct tokens → portable-hash bucket →
     distinct buckets. The ONE featurization both training and serving use
-    (distinct before hashing: one md5 per distinct token, not per token)."""
-    toks = F.array_distinct(simple_tokens_col(F.lower(text_col)))
-    return F.array_distinct(
-        F.transform(
-            toks, lambda t: F.pmod(portable_hash32(t), F.lit(dim)).cast("int")
-        )
+    (distinct before hashing: one md5 per distinct token, not per token).
+
+    ``ngrams=2`` adds hashed word-BIGRAM presence (fastText's standard
+    lever for order-dependent signals a bag of unigrams can't see):
+    adjacent-token pairs joined with a space, bucketed by the same
+    portable hash — the python twin is ``hash_bucket("a b", dim)``.
+    Bigrams are built with zip_with against the 1-shifted token array (the
+    trailing null pair concat-propagates to null and is filtered), so the
+    whole featurization stays one Column expression."""
+    low = F.lower(text_col)
+    toks_d = F.array_distinct(simple_tokens_col(low))
+    uni = F.transform(
+        toks_d, lambda t: F.pmod(portable_hash32(t), F.lit(dim)).cast("int")
     )
+    if ngrams < 2:
+        return F.array_distinct(uni)
+    toks = simple_tokens_col(low)
+    bi_strings = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    bi = F.transform(
+        F.array_distinct(bi_strings),
+        lambda s: F.pmod(portable_hash32(s), F.lit(dim)).cast("int"),
+    )
+    return F.array_distinct(F.concat(uni, bi))
 
 
 def hash_bucket(token: str, dim: int) -> int:
@@ -84,14 +109,17 @@ def hash_bucket(token: str, dim: int) -> int:
     return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:8], 16) % dim
 
 
-def featurize_texts(texts: list[str], dim: int) -> np.ndarray:
-    """(n, dim) binary hashed unigram presence over lowercase whitespace
-    tokens (the simple_tokens_col tokenization)."""
+def featurize_texts(texts: list[str], dim: int, ngrams: int = 1) -> np.ndarray:
+    """(n, dim) binary hashed unigram (+ optional bigram) presence over
+    lowercase whitespace tokens — the python twin of ``bucket_set_col``."""
     x = np.zeros((len(texts), dim), dtype=np.float64)
     for r, t in enumerate(texts):
-        for w in (t or "").lower().split(" "):
-            if w:
-                x[r, hash_bucket(w, dim)] = 1.0
+        toks = [w for w in (t or "").lower().split(" ") if w]
+        for w in toks:
+            x[r, hash_bucket(w, dim)] = 1.0
+        if ngrams >= 2:
+            for a, b in zip(toks, toks[1:]):
+                x[r, hash_bucket(f"{a} {b}", dim)] = 1.0
     return x
 
 
@@ -154,13 +182,13 @@ def _sparse_loss_and_grads(
     return loss, gw, float(np.sum(r))
 
 
-def featurize_table(train: DataFrame, dim: int = 2048) -> DataFrame:
+def featurize_table(train: DataFrame, dim: int = 2048, ngrams: int = 1) -> DataFrame:
     """(text, label) → (buckets, label): the one-time featurization pass,
     using the same native ``bucket_set_col`` expression serving uses —
     train/serve feature parity by construction. Map-only; at corpus scale
     write it to storage once and run every fit/experiment against it."""
     return train.select(
-        bucket_set_col("text", dim).alias("buckets"),
+        bucket_set_col("text", dim, ngrams).alias("buckets"),
         F.col("label").cast("double").alias("label"),
     )
 
@@ -172,11 +200,12 @@ def fit_quality_classifier(
     lr: float = 2.0,
     l2: float = 1e-4,
     loss_history: list | None = None,
+    ngrams: int = 1,
 ) -> tuple[np.ndarray, float]:
     """train(text, label) → (w, b): featurize once (``featurize_table``),
     then ``fit_from_features``."""
     return fit_from_features(
-        featurize_table(train, dim), dim, iters=iters, lr=lr, l2=l2,
+        featurize_table(train, dim, ngrams), dim, iters=iters, lr=lr, l2=l2,
         loss_history=loss_history,
     )
 
@@ -265,7 +294,7 @@ def fit_from_features(
 
 
 def quality_score_col(
-    w: np.ndarray, b: float, text_col: str = "text"
+    w: np.ndarray, b: float, text_col: str = "text", ngrams: int = 1
 ) -> Column:
     """sigmoid(Σ_{distinct hash buckets} w[bucket] + b) as a native Column:
     the shared ``bucket_set_col`` featurization → element_at into the
@@ -281,7 +310,7 @@ def quality_score_col(
     # bitwise vs F.lit incl. denormals), so serving results are unchanged.
     wlit = F.expr("array(" + ",".join(f"{float(v)!r}D" for v in w) + ")")
     z = F.aggregate(
-        bucket_set_col(text_col, dim),
+        bucket_set_col(text_col, dim, ngrams),
         F.lit(float(b)),
         lambda a, i: a + F.element_at(wlit, i + 1),
     )
@@ -289,19 +318,31 @@ def quality_score_col(
 
 
 def score_quality(
-    docs: DataFrame, w: np.ndarray, b: float, text_col: str = "text"
+    docs: DataFrame,
+    w: np.ndarray,
+    b: float,
+    text_col: str = "text",
+    ngrams: int = 1,
 ) -> DataFrame:
     """(doc_id, q_score) for every document — the production scoring pass."""
     return docs.select(
-        "doc_id", quality_score_col(w, b, text_col).alias("q_score")
+        "doc_id", quality_score_col(w, b, text_col, ngrams).alias("q_score")
     )
 
 
-def save_quality_npz(w: np.ndarray, b: float, path: str) -> str:
-    np.savez(path, w=np.asarray(w, dtype=np.float64), b=np.float64(b))
+def save_quality_npz(w: np.ndarray, b: float, path: str, ngrams: int = 1) -> str:
+    """The checkpoint carries the featurization arity so serving can never
+    silently apply a bigram-trained model with unigram features."""
+    np.savez(
+        path,
+        w=np.asarray(w, dtype=np.float64),
+        b=np.float64(b),
+        ngrams=np.int64(ngrams),
+    )
     return path if path.endswith(".npz") else path + ".npz"
 
 
-def load_quality_npz(path: str) -> tuple[np.ndarray, float]:
+def load_quality_npz(path: str) -> tuple[np.ndarray, float, int]:
     with np.load(path) as z:
-        return z["w"].astype(np.float64), float(z["b"])
+        ngrams = int(z["ngrams"]) if "ngrams" in z else 1
+        return z["w"].astype(np.float64), float(z["b"]), ngrams

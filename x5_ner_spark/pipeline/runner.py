@@ -117,8 +117,10 @@ def run_pipeline(
     if quality_npz:
         from ..operators import quality_train as QT
 
-        qw, qb = QT.load_quality_npz(quality_npz)
-        docs = docs.filter(QT.quality_score_col(qw, qb) >= float(quality_min))
+        qw, qb, qng = QT.load_quality_npz(quality_npz)
+        docs = docs.filter(
+            QT.quality_score_col(qw, qb, ngrams=qng) >= float(quality_min)
+        )
         pages = pages.join(docs.select("url"), "url", "left_semi")
     lex = brand_lexicon if brand_lexicon is not None else [b for b in BRANDS]
     # `men` is a lazy plan for callers that want the span table; triple
@@ -236,6 +238,12 @@ def main() -> None:
              "pages scoring below --quality-min are dropped before inference",
     )
     ap.add_argument("--quality-min", type=float, default=0.5)
+    ap.add_argument(
+        "--quality-ngrams", type=int, default=1, choices=(1, 2),
+        help="--fit-quality featurization: 1 = unigram presence, 2 = + "
+             "hashed word bigrams (stored in the checkpoint; serving "
+             "auto-matches)",
+    )
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -261,10 +269,13 @@ def main() -> None:
         hist: list = []
         qw, qb = QT.fit_quality_classifier(
             QT.gopher_labels(docs), iters=args.train_iters, lr=lr,
-            loss_history=hist,
+            loss_history=hist, ngrams=args.quality_ngrams,
         )
-        saved = QT.save_quality_npz(qw, qb, args.fit_quality)
+        saved = QT.save_quality_npz(
+            qw, qb, args.fit_quality, ngrams=args.quality_ngrams
+        )
         print({"mode": "fit_quality", "out": saved,
+               "ngrams": args.quality_ngrams,
                "iters": len(hist), "loss_first": round(hist[0], 4),
                "loss_last": round(hist[-1], 4)})
         return
