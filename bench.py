@@ -492,9 +492,31 @@ def scaling_child(cores: int) -> None:
         from x5_ner_spark.operators import quality_train as QT
         from x5_ner_spark.pipeline import extract
 
+        # cache key = hash of the DERIVATION CODE (extract + gopher labeling
+        # + featurization), not just the fixture version: an edit to any of
+        # these must invalidate the cached feature table, else the leg fits
+        # on labels/features the shipped code no longer produces (same
+        # hazard class _vocab_key exists for — ADVICE r6)
+        import hashlib
+        import inspect
+
+        from x5_ner_spark.operators import text_stats as TS
+
+        deriv = "".join(
+            inspect.getsource(f)
+            for f in (extract.run, TS.gopher_filters, QT.gopher_labels,
+                      QT.bucket_set_col)
+        ) + repr([
+            TS.GOPHER_MIN_WORDS, TS.GOPHER_MAX_WORDS,
+            TS.GOPHER_MIN_MEAN_WORD_LEN, TS.GOPHER_MAX_MEAN_WORD_LEN,
+            TS.GOPHER_MIN_ALPHA_WORD_FRAC, TS.GOPHER_MAX_DUP_3GRAM_FRAC,
+            TS.GOPHER_MIN_STOPWORD_HITS,
+            sorted(TS.EN_STOPWORDS + TS.RU_STOPWORDS),
+        ])
+        deriv_key = hashlib.md5(deriv.encode()).hexdigest()[:8]
         feats_path = os.path.join(
             tempfile.gettempdir(),
-            f"x5bench_qualfeats_{_fixture_version()}_"
+            f"x5bench_qualfeats_{_fixture_version()}_{deriv_key}_"
             f"{SCALING_PAGES}_{SCALING_SENTENCES}",
         )
         if not os.path.exists(os.path.join(feats_path, "_SUCCESS")):

@@ -19,17 +19,17 @@ def test_gradients_match_finite_differences():
     y = (rng.rand(12) > 0.5).astype(np.float64)
     w = rng.randn(7) * 0.1
     b = 0.3
-    _, gw, gb = qt._loss_and_grads(w, b, x, y, 0.0)
+    _, gw, gb = qt._loss_and_grads(w, b, x, y)
     eps = 1e-6
     for j in range(7):
         wp, wm = w.copy(), w.copy()
         wp[j] += eps
         wm[j] -= eps
-        lp, _, _ = qt._loss_and_grads(wp, b, x, y, 0.0)
-        lm_, _, _ = qt._loss_and_grads(wm, b, x, y, 0.0)
+        lp, _, _ = qt._loss_and_grads(wp, b, x, y)
+        lm_, _, _ = qt._loss_and_grads(wm, b, x, y)
         assert gw[j] == pytest.approx((lp - lm_) / (2 * eps), rel=1e-4, abs=1e-7)
-    lp, _, _ = qt._loss_and_grads(w, b + eps, x, y, 0.0)
-    lm_, _, _ = qt._loss_and_grads(w, b - eps, x, y, 0.0)
+    lp, _, _ = qt._loss_and_grads(w, b + eps, x, y)
+    lm_, _, _ = qt._loss_and_grads(w, b - eps, x, y)
     assert gb == pytest.approx((lp - lm_) / (2 * eps), rel=1e-4, abs=1e-7)
 
 
@@ -203,7 +203,7 @@ def test_sparse_grads_match_dense(spark):
     x = np.zeros((25, dim))
     for i, s in enumerate(sets):
         x[i, list(s)] = 1.0
-    loss_d, gw_d, gb_d = qt._loss_and_grads(w, b, x, y, 0.0)
+    loss_d, gw_d, gb_d = qt._loss_and_grads(w, b, x, y)
     flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in sets if len(s)] or [np.empty(0, np.int64)])
     lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=25)
     loss_s, gw_s, gb_s = qt._sparse_loss_and_grads(w, b, flat, lens, y)

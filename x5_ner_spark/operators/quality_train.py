@@ -124,10 +124,12 @@ def featurize_texts(texts: list[str], dim: int, ngrams: int = 1) -> np.ndarray:
 
 
 def _loss_and_grads(
-    w: np.ndarray, b: float, x: np.ndarray, y: np.ndarray, l2: float
+    w: np.ndarray, b: float, x: np.ndarray, y: np.ndarray
 ) -> tuple[float, np.ndarray, float]:
     """Summed (not mean) BCE loss and gradients for one batch; L2 is applied
-    by the driver once per step, not per partition. Stable via logaddexp."""
+    by the driver once per step, not per partition (deliberately NOT a
+    parameter here — a per-partition l2 term would double-count it).
+    Stable via logaddexp."""
     z = x @ w + b
     p = 1.0 / (1.0 + np.exp(-np.clip(z, -500, 500)))
     loss = float(np.sum(np.logaddexp(0.0, z) - y * z))
