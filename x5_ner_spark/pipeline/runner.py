@@ -239,6 +239,13 @@ def main() -> None:
     )
     ap.add_argument("--quality-min", type=float, default=0.5)
     ap.add_argument(
+        "--quality-labels", default="gopher", choices=("gopher", "perplexity"),
+        help="--fit-quality weak-supervision source: gopher rule verdict, "
+             "or CCNet-shape bigram-LM perplexity median split (use "
+             "--quality-ngrams 2 with perplexity — a bigram signal is "
+             "invisible to unigram features)",
+    )
+    ap.add_argument(
         "--quality-ngrams", type=int, default=1, choices=(1, 2),
         help="--fit-quality featurization: 1 = unigram presence, 2 = + "
              "hashed word bigrams (stored in the checkpoint; serving "
@@ -266,9 +273,14 @@ def main() -> None:
 
         lr = args.train_lr if args.train_lr is not None else 2.0
         docs = extract.run(pages).select(F.col("url").alias("doc_id"), "text")
+        labeler = (
+            QT.perplexity_labels
+            if args.quality_labels == "perplexity"
+            else QT.gopher_labels
+        )
         hist: list = []
         qw, qb = QT.fit_quality_classifier(
-            QT.gopher_labels(docs), iters=args.train_iters, lr=lr,
+            labeler(docs), iters=args.train_iters, lr=lr,
             loss_history=hist, ngrams=args.quality_ngrams,
         )
         saved = QT.save_quality_npz(
