@@ -101,8 +101,25 @@ def canon(pdf: pd.DataFrame):
 
 
 def main() -> int:
-    only = sys.argv[1:] if len(sys.argv) > 1 else None
-    spark = get_spark(master="local[8]", app_name="oracle-check", shuffle_partitions=8)
+    args = sys.argv[1:]
+    # --ansi: run the gate under spark.sql.ansi.enabled=true — the DRIVER's
+    # session default (Spark 4.1 ships ANSI on; our session.py pins it off).
+    # The r8 gopher_filters regression (wrap-around long multiply, green
+    # locally / ARITHMETIC_OVERFLOW at the driver) shipped precisely because
+    # this replica only ever ran ANSI-off; both legs must be green before
+    # committing changes to __spark_entry__.py or any operator a query
+    # touches (CLAUDE.md verify section).
+    ansi = "--ansi" in args
+    args = [a for a in args if a != "--ansi"]
+    only = args if args else None
+    extra = {"spark.sql.ansi.enabled": "true"} if ansi else None
+    spark = get_spark(master="local[8]", app_name="oracle-check",
+                      shuffle_partitions=8, extra_conf=extra)
+    if ansi:
+        got = spark.conf.get("spark.sql.ansi.enabled")
+        if got != "true":
+            print(f"FATAL: --ansi requested but session has ansi={got}")
+            return 1
     con = duckdb.connect()
     for t in entrymod.TABLES:
         con.execute(

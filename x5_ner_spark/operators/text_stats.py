@@ -135,10 +135,6 @@ GOPHER_MIN_ALPHA_WORD_FRAC = 0.6   # Gopher: 0.8 (adapted: numeric suffixes)
 GOPHER_MAX_DUP_3GRAM_FRAC = 0.5
 GOPHER_MIN_STOPWORD_HITS = 1       # Gopher: 2 of a fixed list
 _LETTER_CLASS = "[A-Za-zА-Яа-яё]"
-# odd 64-bit mixing constants for the hashed-trigram combiner (see
-# gopher_filters): distinct multipliers keep (a,b,c) ≠ (c,b,a) etc.
-_GRAM_C1 = -7046029254386353131
-_GRAM_C2 = -4417276706812531889
 
 
 def gopher_filters(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
@@ -174,22 +170,27 @@ def gopher_filters(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     stop_hits = F.size(
         F.filter("toks", lambda t: F.lower(t).isin(EN_STOPWORDS + RU_STOPWORDS))
     )
-    # duplicate-3-gram fraction over HASHED grams: token-hash arithmetic
-    # (two odd 64-bit mix constants, wrap-around multiply in non-ANSI mode)
-    # instead of per-gram slice+concat_ws strings — the string form's Scala
-    # collection churn was the measured allocation hotspot of this operator
-    # (jstack: IterableOnceOps.toArray; 1.7× interleaved on the dup stage,
-    # identical outputs on the sf corpus). A 64-bit gram collision would
-    # undercount distinct grams by 1 with probability ~n_grams²/2⁶⁵ per doc
-    # (~1e-13 at 10k words) — far below the 4-decimal rounding of the
-    # published fraction. The DuckDB oracle keeps exact string grams, so
-    # the gate would catch any systematic divergence.
+    # duplicate-3-gram fraction over HASHED grams: xxhash64 over the three
+    # token hashes instead of per-gram slice+concat_ws strings — the string
+    # form's Scala collection churn was the measured allocation hotspot of
+    # this operator (jstack: IterableOnceOps.toArray; 1.7× interleaved on
+    # the dup stage, identical outputs on the sf corpus). The combiner is
+    # position-sensitive (xxhash64 folds its inputs sequentially) and uses
+    # NO arithmetic, so it is ANSI-safe (the r8 wrap-around-multiply mixer
+    # threw ARITHMETIC_OVERFLOW under spark.sql.ansi.enabled=true — the
+    # driver-gate default). A 64-bit gram collision would undercount
+    # distinct grams by 1 with probability ~n_grams²/2⁶⁵ per doc (~1e-13 at
+    # 10k words) — far below the 4-decimal rounding of the published
+    # fraction. The DuckDB oracle keeps exact string grams, so the gate
+    # would catch any systematic divergence.
     idx = F.sequence(F.lit(0), n_words - 3)
     grams = F.transform(
         idx,
-        lambda i: F.element_at("_th", i + 1) * F.lit(_GRAM_C1)
-        + F.element_at("_th", i + 2) * F.lit(_GRAM_C2)
-        + F.element_at("_th", i + 3),
+        lambda i: F.xxhash64(
+            F.element_at("_th", i + 1),
+            F.element_at("_th", i + 2),
+            F.element_at("_th", i + 3),
+        ),
     )
     dup_frac = F.when(
         n_words >= 3,
