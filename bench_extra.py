@@ -75,6 +75,10 @@ def main() -> None:
                 f.write(formatted_plan(qs[name](spark, args.sf)))
 
     samples: dict[str, list[float]] = {n: [] for n in names}
+    if args.repeats < 1:  # plans-only invocation
+        print(json.dumps({"sf": args.sf, "plans": args.plans}))
+        spark.stop()
+        return
     # one warm-up pass (codegen compile / first-read), then interleaved reps
     for name in names:
         spark.sparkContext.setJobDescription(f"warmup:{name}")

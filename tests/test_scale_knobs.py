@@ -57,6 +57,40 @@ def test_df_cap_fraction_drops_boilerplate_shingles(spark):
     assert hot > 0  # the fixture genuinely has hot shingles to drop
 
 
+# ------------------------- LOCAL_JACCARD_DOCS (bounded-hybrid jaccard)
+
+
+def test_jaccard_bincount_kernel_matches_join_path(spark):
+    """r9: jaccard_pairs runs the broadcast-postings numpy kernel below
+    LOCAL_JACCARD_DOCS and the shared-shingle self-join above it — the two
+    must emit IDENTICAL rows (ids, rounded jaccard) on a fixture that
+    exercises the edge cases: sub-k-token docs (excluded), exact duplicates
+    (jaccard 1.0), a threshold-straddling pair, and disjoint docs."""
+    import x5_ner_spark.operators.dedup as dd
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),            # exact dup of 1
+        (3, "a b c d e f zz yy"),          # partial overlap with 1/2
+        (4, "p q r s t u v w"),            # disjoint
+        (5, "p q r s t u v xx"),           # near-dup of 4
+        (6, "one two"),                    # < k tokens: no shingles
+        (7, ""),                           # empty
+    ]
+    docs = _docs(spark, rows)
+    prev = dd.LOCAL_JACCARD_DOCS
+    try:
+        dd.LOCAL_JACCARD_DOCS = 0
+        joined = sorted(map(tuple, dd.jaccard_pairs(docs, 3, 0.3).collect()))
+        dd.LOCAL_JACCARD_DOCS = 10_000
+        kernel = sorted(map(tuple, dd.jaccard_pairs(docs, 3, 0.3).collect()))
+    finally:
+        dd.LOCAL_JACCARD_DOCS = prev
+    assert joined == kernel
+    assert any({a, b} == {1, 2} and j == 1.0 for a, b, j in kernel)
+    assert all({a, b} != {1, 4} for a, b, _ in kernel)
+
+
 # ------------------------------------------------- max_df (inverted index)
 
 

@@ -29,10 +29,30 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.columns import cosine_similarity_col, portable_hash32, simple_tokens_col
+
+LOCAL_JACCARD_DOCS = int(os.environ.get("X5_JACCARD_LOCAL_DOCS", "500000"))
+"""Corpus size (docs) at or below which :func:`jaccard_pairs` runs the
+broadcast-postings kernel instead of the shared-shingle self-join — the
+same bounded-hybrid pattern as the CC driver finisher
+(pipeline/canonicalize.LOCAL_FINISH_EDGES). Rationale: the self-join's
+output is Σ_shingle df² rows funneled into a hash aggregate over every
+co-shingle doc pair (measured at sf1.0: 257M joined rows → 114M distinct
+pairs → a multi-GB exchange for a ~10³-row result). The kernel instead
+collects the per-doc HASHED shingle sets — ~8 bytes per corpus token,
+bounded by construction: 500k docs ≈ 200 MB, under the 1 GB
+driver.maxResultSize default — builds shingle→doc posting lists once,
+broadcasts them (tens of MB), and counts pair intersections with
+vectorized numpy inside parallel tasks, emitting ONLY threshold
+survivors. Nothing quadratic ever crosses an exchange. Above the bound
+the exact self-join shape still runs (jaccard_pairs is the documented
+oracle-only variant; the 100 TB path is near_dup_clusters_lsh). 0
+disables the kernel."""
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -100,6 +120,149 @@ def _sized_shingles(docs: DataFrame, k: int) -> DataFrame:
     ).select("doc_id", F.col("x.n_sh").alias("n_sh"), F.col("x.shingle").alias("shingle"))
 
 
+def _jaccard_pairs_bincount(d: DataFrame, k: int, threshold: float) -> DataFrame:
+    """Broadcast-postings all-pairs Jaccard kernel (see
+    :data:`LOCAL_JACCARD_DOCS` for when it runs and why).
+
+    Shape: one map-only pass collects ``(doc_id, xxhash64-shingle set)`` —
+    the lightweight proxy of the corpus (~8 B/token); the driver builds
+    shingle→doc posting lists once (numpy, sorted by doc index so pair
+    emission is deterministic) and broadcasts them; ``n_blocks`` tasks each
+    expand their doc block's postings, count per-pair shared shingles with
+    one sort + run-length encode, apply the threshold with a conservative
+    margin, and emit ONLY surviving (id_a, id_b, n_inter, na, nb) rows. The
+    final jaccard/round/filter runs as Spark expressions with the same
+    long/long double division as the join shape, so published values are
+    identical. Hashing note: intersection counts use 64-bit shingle hashes
+    instead of strings — a collision needs two distinct shingles of the
+    SAME doc pair to collide (≈ n_sh²/2⁶⁵ per pair, ~1e-15), the same
+    accepted class as gopher's hashed trigrams; the DuckDB oracle keeps
+    exact string shingles and would catch any systematic divergence."""
+    import numpy as np
+
+    spark = d.sparkSession
+    out_schema = "id_a long, id_b long, n_inter long, na long, nb long"
+    # hash token k-tuples directly — no concat_ws shingle strings (the
+    # string form's Scala collection churn is the measured allocation
+    # hotspot; see gopher_filters). Tokens are space-split and non-empty,
+    # so string-shingle ↔ token-tuple is bijective and the distinct-set
+    # sizes/intersections are identical up to 64-bit tuple-hash collisions
+    # (the accepted ~1e-15/pair class documented above).
+    idx = F.sequence(F.lit(0), F.size("toks") - k)
+    hashed = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at("toks", i + 1 + j) for j in range(k)]),
+        )
+    )
+    sets = _with_tokens(d, k).select("doc_id", hashed.alias("sh"))
+    pdf = sets.toPandas()
+    n = len(pdf)
+    empty = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    if n < 2:
+        return empty
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+    arrs = pdf["sh"].to_numpy()[order]
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+    if int(lens.sum()) == 0:
+        return empty
+    flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs])
+    doc_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=doc_off[1:])
+    uniq, ginv = np.unique(flat, return_inverse=True)
+    # postings: doc indices per gid, ascending (stable sort keeps the
+    # doc-major order of `flat`)
+    po = np.argsort(ginv, kind="stable")
+    post_docs = np.repeat(np.arange(n, dtype=np.int32), lens)[po]
+    post_off = np.zeros(len(uniq) + 1, dtype=np.int64)
+    np.cumsum(np.bincount(ginv, minlength=len(uniq)), out=post_off[1:])
+    bc = spark.sparkContext.broadcast({
+        "doc_ids": doc_ids,
+        "lens": lens,
+        "doc_off": doc_off,
+        "gids": ginv.astype(np.int64),
+        "post_docs": post_docs,
+        "post_off": post_off,
+    })
+    n_blocks = max(min(2 * spark.sparkContext.defaultParallelism, n - 1), 1)
+    # conservative superset bound: F.round(x,4) >= t can only admit
+    # x >= t - 5e-5; the exact filter below re-applies Spark's rounding
+    margin = threshold - 1e-4
+
+    def count_blocks(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        v = bc.value
+        doc_ids_, lens_, doc_off_ = v["doc_ids"], v["lens"], v["doc_off"]
+        gids_, post_docs_, post_off_ = v["gids"], v["post_docs"], v["post_off"]
+        nn = len(doc_ids_)
+        for batch in batches:
+            for blk in batch.column(0).to_pylist():
+                lo = blk * nn // n_blocks
+                hi = (blk + 1) * nn // n_blocks
+                if lo >= hi:
+                    continue
+                g = gids_[doc_off_[lo]:doc_off_[hi]]
+                if not len(g):
+                    continue
+                starts = post_off_[g]
+                plens = post_off_[g + 1] - starts
+                total = int(plens.sum())
+                # ragged multi-range expansion (every plens >= 1: a gid's
+                # posting always contains its own doc, so the += targets
+                # below are unique)
+                step = np.ones(total, dtype=np.int64)
+                step[0] = starts[0]
+                cut = np.cumsum(plens)[:-1]
+                step[cut] += starts[1:] - (starts[:-1] + plens[:-1])
+                b = post_docs_[np.cumsum(step)].astype(np.int64)
+                a_rep = np.repeat(
+                    np.repeat(np.arange(lo, hi, dtype=np.int64),
+                              lens_[lo:hi]),
+                    plens,
+                )
+                mask = b > a_rep
+                key = a_rep[mask] * nn + b[mask]
+                if not len(key):
+                    continue
+                key.sort()
+                change = np.empty(len(key), dtype=bool)
+                change[0] = True
+                np.not_equal(key[1:], key[:-1], out=change[1:])
+                uk = key[change]
+                pos = np.flatnonzero(change)
+                inter = np.diff(np.append(pos, len(key))).astype(np.int64)
+                ai = uk // nn
+                bi = uk % nn
+                na = lens_[ai]
+                nb = lens_[bi]
+                keep = inter / (na + nb - inter) >= margin
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(doc_ids_[ai[keep]], type=pa.int64()),
+                        pa.array(doc_ids_[bi[keep]], type=pa.int64()),
+                        pa.array(inter[keep], type=pa.int64()),
+                        pa.array(na[keep], type=pa.int64()),
+                        pa.array(nb[keep], type=pa.int64()),
+                    ],
+                    names=["id_a", "id_b", "n_inter", "na", "nb"],
+                )
+
+    res = spark.range(0, n_blocks, 1, n_blocks).mapInArrow(
+        count_blocks, out_schema
+    )
+    return (
+        res.withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame, k: int = 3, threshold: float = 0.5, sample_mod: int = 1,
     df_cap_fraction: float | None = None,
@@ -122,6 +285,13 @@ def jaccard_pairs(
     d = docs
     if sample_mod > 1:
         d = d.filter(F.col("doc_id") % sample_mod == 0)
+    if df_cap_fraction is None and LOCAL_JACCARD_DOCS and (
+        d.count() <= LOCAL_JACCARD_DOCS
+    ):
+        # bounded-hybrid kernel (LOCAL_JACCARD_DOCS): identical output,
+        # nothing quadratic crosses an exchange; the count gate is
+        # metadata-only on parquet sources
+        return _jaccard_pairs_bincount(d, k, threshold)
     src = _sized_shingles(d, k)
     if df_cap_fraction is not None:
         n_docs = d.count()
