@@ -19,6 +19,7 @@ from x5_ner_spark.functions.columns import (
     portable_hash32,
     simple_tokens_col,
 )
+from x5_ner_spark.functions.scan import scan_parallel
 from x5_ner_spark.operators import (
     crf_train,
     decision_log as decision_log_op,
@@ -61,7 +62,7 @@ _DICT_SQL_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in sorted(MENTION_DICT.i
 def q_kg_mentions_by_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship minimum slice: scan → tokenize → broadcast dictionary join →
     triple emission → aggregate (S-scan, P1, J2, A1)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = scan_parallel(_t(spark, sf_dir, "documents"))
     dic = spark.createDataFrame(
         sorted(MENTION_DICT.items()), "term string, pred string"
     )
@@ -122,7 +123,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: length-banded Levenshtein join of corpus tokens vs lexicon."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = scan_parallel(_t(spark, sf_dir, "documents"))
     lex = spark.createDataFrame(
         [(t,) for t in sorted(MENTION_DICT)], "lex_term string"
     )

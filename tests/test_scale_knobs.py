@@ -112,6 +112,51 @@ def test_inverted_index_max_df_bounds_posting_lists(spark):
     assert "term0" in by_term and by_term["term0"]["df"] == 8
 
 
+# ----------------------- histogram-selection exact path (numeric profile)
+
+
+def test_numeric_profile_histogram_matches_percentile_aggregate(spark):
+    """r9: exact=True runs the 3-pass histogram-selection path; its output
+    must equal the percentile() aggregate form on adversarial shapes
+    (single value, duplicates, ties, skew, negative, even/odd counts) and
+    fall back cleanly on null values / null group keys."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    import x5_ner_spark.operators.text_stats as ts
+
+    rnd = random.Random(3)
+    cases = {
+        "one": [5.0], "dups": [3.0] * 10, "ties": [1.0, 1.0, 2.0, 2.0, 9.0],
+        "neg": [-5.5, -1.25, 0.0, 7.75], "odd": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "even": [10.0, 20.0, 30.0, 40.0],
+        "skew": [1e-9] * 200 + [1e9] * 3,
+        "rand": [rnd.uniform(-1e6, 1e6) for _ in range(397)],
+    }
+    rows = [(g, float(x)) for g, vs in cases.items() for x in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    hist = ts._exact_percentiles_histogram(df, "g", "v", (0.5, 0.9))
+    assert hist is not None
+    agg = df.groupBy("g").agg(
+        F.round(F.min("v"), 4).alias("min_price"),
+        F.round(F.max("v"), 4).alias("max_price"),
+        F.expr("percentile(v, array(0.5D, 0.9D))").alias("a"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "g", "min_price", "max_price",
+        F.round(F.element_at("a", 1), 4).alias("median_price"),
+        F.round(F.element_at("a", 2), 4).alias("p90_price"),
+        "n_rows",
+    )
+    assert sorted(map(tuple, hist.collect())) == sorted(map(tuple, agg.collect()))
+    # null group key → fallback (None), handled by the public operator
+    df2 = spark.createDataFrame([(None, 1.0), ("a", 2.0)], "g string, v double")
+    assert ts._exact_percentiles_histogram(df2, "g", "v", (0.5, 0.9)) is None
+    prof = ts.numeric_profile(df2, "g", "v", exact=True).collect()
+    assert len(prof) == 2
+
+
 # ----------------------------------- approx_percentile (numeric profile)
 
 

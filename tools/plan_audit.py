@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump `.explain("formatted")` plans of the headline queries to
-BENCH/plans_r8.txt — the plan-discipline artifact: pushed filters, broadcast
+BENCH/plans_r9.txt — the plan-discipline artifact: pushed filters, broadcast
 joins, exchange counts, and WholeStageCodegen spans are auditable without
 re-running Spark. Re-generate after any operator change:
 
@@ -66,7 +66,7 @@ def main() -> None:
     # does not. (tests/test_plan_shapes.py pins under the same conf.)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     qs = entrymod.queries()
-    out_path = os.path.join(REPO, "BENCH", "plans_r8.txt")
+    out_path = os.path.join(REPO, "BENCH", "plans_r9.txt")
     with open(out_path, "w") as out:
         out.write("# .explain('formatted') of headline queries at %s\n" % SF_DIR)
         for name in AUDIT:

@@ -41,7 +41,12 @@ def simple_tokens_col(c: Column | str, sep: str = " ") -> Column:
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
     """Native cosine over two array<float/double> columns via zip_with +
-    aggregate — stays inside whole-stage codegen, no UDF."""
+    aggregate — no UDF. HOF lambdas are interpreted (not codegen'd), but
+    an A/B against a fully unrolled element_at chain showed the unrolled
+    form LOSES end to end (1.2 s of driver plan analysis for the 576-term
+    tree + a slower run vs 0.55 s total for this form at sf1.0): the r8
+    cost attributed to the lambdas was really the unsplittable-scan
+    bottleneck, fixed by functions/scan.scan_parallel in the callers."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.columns import cosine_similarity_col, portable_hash32, simple_tokens_col
+from ..functions.scan import scan_parallel
 
 LOCAL_JACCARD_DOCS = int(os.environ.get("X5_JACCARD_LOCAL_DOCS", "500000"))
 """Corpus size (docs) at or below which :func:`jaccard_pairs` runs the
@@ -58,6 +59,7 @@ disables the kernel."""
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (post-normalization) docs; returns one row per
     duplicated fingerprint with count and min doc_id (the keeper)."""
+    docs = scan_parallel(docs)
     normed = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return (
         docs.select(F.col("doc_id"), F.md5(normed).alias("fp"))
@@ -68,7 +70,10 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _with_tokens(docs: DataFrame, k: int) -> DataFrame:
-    """(doc_id, toks) for docs with ≥k tokens — the shared shingling base."""
+    """(doc_id, toks) for docs with ≥k tokens — the shared shingling base.
+    scan_parallel: every consumer (shingle/minhash/jaccard) is map-heavy,
+    so an unsplittable input would serialize the whole hashing pass."""
+    docs = scan_parallel(docs)
     toks = simple_tokens_col("text")
     return docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
 
@@ -120,6 +125,26 @@ def _sized_shingles(docs: DataFrame, k: int) -> DataFrame:
     ).select("doc_id", F.col("x.n_sh").alias("n_sh"), F.col("x.shingle").alias("shingle"))
 
 
+def _hashed_shingle_sets(docs: DataFrame, k: int) -> DataFrame:
+    """Per-doc distinct shingle sets as 64-BIT HASHES ``(doc_id, sh:
+    array<long>)`` — token k-tuples fed straight into xxhash64, no
+    concat_ws shingle strings (the string form's Scala collection churn is
+    the measured allocation hotspot; see gopher_filters). Tokens are
+    space-split and non-empty, so string-shingle ↔ token-tuple is
+    bijective: set sizes and intersections are identical up to 64-bit
+    tuple-hash collisions (≈ n_sh²/2⁶⁵ per doc pair, ~1e-15 — the same
+    accepted class as gopher's hashed trigrams; the DuckDB oracle keeps
+    exact string shingles and would catch any systematic divergence)."""
+    idx = F.sequence(F.lit(0), F.size("toks") - k)
+    hashed = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at("toks", i + 1 + j) for j in range(k)]),
+        )
+    )
+    return _with_tokens(docs, k).select("doc_id", hashed.alias("sh"))
+
+
 def _jaccard_pairs_bincount(d: DataFrame, k: int, threshold: float) -> DataFrame:
     """Broadcast-postings all-pairs Jaccard kernel (see
     :data:`LOCAL_JACCARD_DOCS` for when it runs and why).
@@ -142,21 +167,7 @@ def _jaccard_pairs_bincount(d: DataFrame, k: int, threshold: float) -> DataFrame
 
     spark = d.sparkSession
     out_schema = "id_a long, id_b long, n_inter long, na long, nb long"
-    # hash token k-tuples directly — no concat_ws shingle strings (the
-    # string form's Scala collection churn is the measured allocation
-    # hotspot; see gopher_filters). Tokens are space-split and non-empty,
-    # so string-shingle ↔ token-tuple is bijective and the distinct-set
-    # sizes/intersections are identical up to 64-bit tuple-hash collisions
-    # (the accepted ~1e-15/pair class documented above).
-    idx = F.sequence(F.lit(0), F.size("toks") - k)
-    hashed = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(*[F.element_at("toks", i + 1 + j) for j in range(k)]),
-        )
-    )
-    sets = _with_tokens(d, k).select("doc_id", hashed.alias("sh"))
-    pdf = sets.toPandas()
+    pdf = _hashed_shingle_sets(d, k).toPandas()
     n = len(pdf)
     empty = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
     if n < 2:
@@ -469,8 +480,13 @@ def jaccard_rescore(
     partitioning carries it through the id_a/id_b renames), so the corpus is
     shingled once and exchanged once; only pair-sized rows shuffle after
     that. Set size is bounded by document length, so the arrays are
-    shuffle-safe at scale; nothing quadratic happens here."""
-    sh_sets = shingle_sets(docs, k).repartition("doc_id")
+    shuffle-safe at scale; nothing quadratic happens here.
+
+    r9: the sets are HASHED shingles (:func:`_hashed_shingle_sets`) — the
+    intersection/size counts are identical (collision bound ~1e-15/pair)
+    and the rescore pass neither builds shingle strings nor shuffles
+    them (8 B/shingle in the doc_id exchange instead of ~25 B)."""
+    sh_sets = _hashed_shingle_sets(docs, k).repartition("doc_id")
     a = sh_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -571,6 +587,7 @@ def repeated_ngram_spans(
     "repeated" mark), never drop one, matching the conservative direction
     for dedup; widen to md5 if exactness matters more than width.
     """
+    docs = scan_parallel(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         simple_tokens_col(F.lower(text_col)).alias("toks"),
@@ -623,6 +640,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     SLOWER despite its zero-exchange plan: higher-order-function lambdas are
     interpreted per element, while this shape's when/sum expressions stay in
     whole-stage codegen. Same finding as minhash_signatures.)"""
+    docs = scan_parallel(docs)
     toks = docs.select(
         "doc_id", F.explode(simple_tokens_col(F.lower("text"))).alias("t")
     )

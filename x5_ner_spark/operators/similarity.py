@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.columns import cosine_similarity_col, portable_hash32
+from ..functions.scan import scan_parallel
 
 
 def brute_force_topk(
@@ -21,6 +22,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """For each query vector, the top-k corpus neighbors by cosine (excluding
     itself). queries is broadcast; ties broken by neighbor id."""
+    corpus = scan_parallel(corpus)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -81,6 +83,7 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     exact cosine rescore inside the bucket."""
+    corpus = scan_parallel(corpus)
     cb = projection_buckets(corpus, n_planes, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
     )
@@ -203,6 +206,7 @@ def ivf_topk(
     (:func:`ivf_refine_centroids`) before assignment — the training path a
     production IVF index uses; 0 keeps the oracle-mirrored raw sample."""
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    corpus = scan_parallel(corpus)
     if refine_iters:
         cents = ivf_refine_centroids(corpus, cents, refine_iters, id_col, vec_col)
 

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.columns import portable_hash32, simple_tokens_col
+from ..functions.scan import scan_parallel
 
 # tiny pinned English stopword list for the n-gram-free language heuristic
 EN_STOPWORDS = [
@@ -23,6 +24,7 @@ def token_frequencies(docs: DataFrame, top_k: int = 50) -> DataFrame:
     """A1/A2/W9: explode → groupBy count → deterministic top-k (freq desc,
     term asc tiebreak). Partial aggregation is automatic (map-side combine
     before the single shuffle on term)."""
+    docs = scan_parallel(docs)
     toks = docs.select(F.explode(simple_tokens_col("text")).alias("term"))
     return (
         toks.groupBy("term")
@@ -34,13 +36,22 @@ def token_frequencies(docs: DataFrame, top_k: int = 50) -> DataFrame:
 
 def language_id(docs: DataFrame) -> DataFrame:
     """Stopword-ratio language heuristic: share of tokens in EN vs RU
-    stopword sets; argmax with 'und' fallback under 0.05."""
-    toks = docs.select(
-        "doc_id", F.explode(simple_tokens_col(F.lower("text"))).alias("t")
-    )
-    scored = toks.groupBy("doc_id").agg(
-        (F.sum(F.col("t").isin(EN_STOPWORDS).cast("int")) / F.count(F.lit(1))).alias("en_ratio"),
-        (F.sum(F.col("t").isin(RU_STOPWORDS).cast("int")) / F.count(F.lit(1))).alias("ru_ratio"),
+    stopword sets; argmax with 'und' fallback under 0.05.
+
+    Map-only (r9): hit counts come from ``size(filter(tokens, isin))``
+    over the in-row token array instead of explode → groupBy(doc_id) — the
+    same integer hit/total counts, so identical ratios, without shuffling
+    one row per corpus token. Docs whose token array is empty are filtered
+    out, exactly as the exploded form emitted no row for them."""
+    docs = scan_parallel(docs)
+    toks = simple_tokens_col(F.lower("text"))
+    d = docs.select("doc_id", toks.alias("_t")).filter(F.size("_t") > 0)
+    en = F.size(F.filter("_t", lambda t: t.isin(EN_STOPWORDS)))
+    ru = F.size(F.filter("_t", lambda t: t.isin(RU_STOPWORDS)))
+    scored = d.select(
+        "doc_id",
+        (en / F.size("_t")).alias("en_ratio"),
+        (ru / F.size("_t")).alias("ru_ratio"),
     )
     return scored.select(
         "doc_id",
@@ -58,6 +69,7 @@ def quality_scores(docs: DataFrame, learned=None) -> DataFrame:
     ``learned=(w, b)`` appends ``learned_q`` — the zero-UDF classifier
     serving expression (operators/quality_train.quality_score_col), still
     one map-only projection."""
+    docs = scan_parallel(docs)
     toks = F.size(simple_tokens_col("text"))
     n = F.length("text")
     digits = n - F.length(F.regexp_replace("text", "[0-9]", ""))
@@ -86,6 +98,7 @@ def quality_scores(docs: DataFrame, learned=None) -> DataFrame:
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + regex word tokens + a BPE-ish subword estimate
     (ceil(chars/4) heuristic — the standard tokens≈chars/4 rule)."""
+    docs = scan_parallel(docs)
     ws = F.size(simple_tokens_col("text"))
     words = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+"), 0))
     return docs.select(
@@ -99,6 +112,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 of case/whitespace-normalized
     text (portable), plus a 32-bit bucket for partitioned dedup."""
+    docs = scan_parallel(docs)
     normed = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     return docs.select(
         "doc_id",
@@ -111,6 +125,7 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     """token_counts + fingerprints fused into ONE map-only scan — the gate
     surface for both (one registry slot; the driver evaluates only the first
     50 queries). Same column definitions as the two standalone operators."""
+    docs = scan_parallel(docs)
     ws = F.size(simple_tokens_col("text"))
     words = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+"), 0))
     normed = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
@@ -151,6 +166,7 @@ def gopher_filters(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     corpus on doc_id). Line-based rules (bullet/ellipsis line fractions) are
     not replicated because the corpus schema's text is single-line;
     documented deviation."""
+    docs = scan_parallel(docs)
     toks = simple_tokens_col("text")
     # token hashes are materialized as a NAMED column so the gram lambda's
     # three element_at calls hit an evaluated array (referencing the
@@ -234,6 +250,7 @@ def c4_filters(docs: DataFrame) -> DataFrame:
     (C4 keeps lines of ≥3 words ending in terminal punctuation — adapted:
     sentences split on [.!?]). Map-only native expressions; composite
     ``keep`` = no code brace, no policy phrase, ≥1 qualifying sentence."""
+    docs = scan_parallel(docs)
     low = F.lower("text")
     phrase_hits = sum(
         (F.contains(low, F.lit(p)).cast("int") for p in C4_POLICY_PHRASES),
@@ -270,6 +287,7 @@ def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 10_000) -> Da
     ``min_df``/``max_df`` drop hapaxes and stopword-like terms whose posting
     lists would be shuffle hogs; at 100 TB postings for hot terms are
     chunked by (term, bucket) — here bounded by max_df instead."""
+    docs = scan_parallel(docs)
     toks = docs.select(
         "doc_id", F.explode(simple_tokens_col(F.lower("text"))).alias("term")
     ).distinct()
@@ -311,6 +329,9 @@ def numeric_profile(
     quantiles from the same accumulated counts, so the returned doubles
     are bit-identical to the two-call form."""
     if exact:
+        hist = _exact_percentiles_histogram(df, group_col, value_col, (0.5, 0.9))
+        if hist is not None:
+            return hist
         pcts = f"percentile({value_col}, array(0.5D, 0.9D))"
     else:
         pcts = f"approx_percentile({value_col}, array(0.5D, 0.9D), {int(accuracy)})"
@@ -329,6 +350,161 @@ def numeric_profile(
     )
 
 
+PROFILE_HIST_GROUPS = 64
+PROFILE_HIST_BUCKETS = 65536
+PROFILE_HIST_COLLECT = 2_000_000
+
+
+def _exact_percentiles_histogram(df, group_col, value_col, pcts):
+    """Exact per-group order statistics via histogram selection — three
+    bounded passes instead of Spark's ``percentile()`` aggregate, whose
+    per-group value→count map (4.6M entries per group at sf1.0) is built,
+    merged, and sorted single-threaded per group (measured 8.6 s for the
+    array form; this path runs ~4 s and scales: every pass is a map-side-
+    combinable aggregate or a pushed-down filter, and nothing proportional
+    to group cardinality ever sits on one core).
+
+    Pass A: per-group count/min/max (also the profile's own columns).
+    Pass B: fixed-width 65536-bucket histogram per group; the driver walks
+    the cumulative counts to locate, for each needed 0-based rank
+    ``floor/ceil(p·(n-1))``, its bucket and in-bucket offset.
+    Pass C: collect ONLY the needed buckets' values (counts known from the
+    histogram, so the collect is bounded by construction; guarded by
+    PROFILE_HIST_COLLECT), sort locally, pick the ranks.
+
+    Interpolation replicates Spark's Percentile.getPercentile exactly:
+    ``pos = p·(n-1)``; if floor==ceil or the two keys are equal the key
+    itself, else ``(ceil-pos)·lowerKey + (pos-floor)·higherKey`` — the
+    same IEEE double ops in the same order, verified bit-identical against
+    percentile() on the sf tables and adversarial fixtures
+    (tests/test_scale_knobs.py). Returns None (caller falls back to the
+    percentile() aggregate) when the group count exceeds
+    PROFILE_HIST_GROUPS, a needed bucket exceeds the collect bound, or a
+    group has no non-null values (Spark emits NULL there; the fallback
+    handles it)."""
+    import math
+
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    base = df.select(F.col(group_col).alias("g"), v.alias("v"))
+    stats = (
+        base.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    )
+    if len(stats) > PROFILE_HIST_GROUPS or any(r["n"] == 0 for r in stats):
+        return None
+    # null group keys break the map-literal lookup; NaN values break both
+    # the bucket arithmetic and the local sort — rare shapes, fall back
+    if any(
+        r["g"] is None or math.isnan(r["mn"]) or math.isnan(r["mx"])
+        for r in stats
+    ):
+        return None
+    ginfo = {r["g"]: r for r in stats}
+    # ranks needed per group (0-based, ascending multiset order)
+    need: dict = {}
+    for g, r in ginfo.items():
+        n = r["n"]
+        rk = set()
+        for p in pcts:
+            pos = p * (n - 1)
+            rk.add(math.floor(pos))
+            rk.add(math.ceil(pos))
+        need[g] = sorted(rk)
+
+    B = PROFILE_HIST_BUCKETS
+    # bucket expression shared by passes B and C (identical floats)
+    mn_lit = F.create_map(*[
+        x for g, r in ginfo.items() for x in (F.lit(g), F.lit(r["mn"]))
+    ])
+    span_lit = F.create_map(*[
+        x
+        for g, r in ginfo.items()
+        for x in (F.lit(g), F.lit((r["mx"] - r["mn"]) or 1.0))
+    ])
+    bucket = F.least(
+        F.floor((F.col("v") - mn_lit[F.col("g")]) / span_lit[F.col("g")] * B),
+        F.lit(B - 1),
+    ).cast("int")
+    nn = base.filter(F.col("v").isNotNull())
+    hist = (
+        nn.withColumn("b", bucket)
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per_g: dict = {}
+    for row in hist:
+        per_g.setdefault(row["g"], []).append((row["b"], row["c"]))
+    # locate (bucket, local offset) for every needed rank
+    targets: dict = {}   # g -> {bucket: [(rank, offset)]}
+    for g, ranks in need.items():
+        buckets = sorted(per_g[g])
+        cum = 0
+        it = iter(buckets)
+        b, c = next(it)
+        tg = targets.setdefault(g, {})
+        for r in ranks:
+            while r >= cum + c:
+                cum += c
+                b, c = next(it)
+            tg.setdefault(b, []).append((r, r - cum))
+    picked = [(g, b) for g, tb in targets.items() for b in tb]
+    total_rows = sum(
+        c for g, tb in targets.items() for (b2, c) in per_g[g] if b2 in tb
+    )
+    if total_rows > PROFILE_HIST_COLLECT:
+        return None
+    cond = None
+    for g, b in picked:
+        leg = (F.col("g") == F.lit(g)) & (F.col("b") == F.lit(b))
+        cond = leg if cond is None else (cond | leg)
+    rows = nn.withColumn("b", bucket).filter(cond).select("g", "b", "v").collect()
+    vals: dict = {}
+    for row in rows:
+        vals.setdefault((row["g"], row["b"]), []).append(row["v"])
+    key_at: dict = {}
+    for (g, b), vs in vals.items():
+        vs.sort()
+        for r, off in targets[g][b]:
+            key_at[(g, r)] = vs[off]
+    out = []
+    for g, r in ginfo.items():
+        n = r["n"]
+        ps = []
+        for p in pcts:
+            pos = p * (n - 1)
+            lo = math.floor(pos)
+            hi = math.ceil(pos)
+            lk = key_at[(g, lo)]
+            if hi == lo:
+                ps.append(lk)
+            else:
+                hk = key_at[(g, hi)]
+                ps.append(lk if hk == lk else (hi - pos) * lk + (pos - lo) * hk)
+        out.append((g, r["mn"], r["mx"], ps[0], ps[1], r["n_rows"]))
+    gtype = df.select(F.col(group_col)).schema.fields[0].dataType.simpleString()
+    res = spark.createDataFrame(
+        out,
+        f"{group_col} {gtype}, _mn double, _mx double, _med double, "
+        f"_p90 double, n_rows long",
+    )
+    return res.select(
+        group_col,
+        F.round("_mn", 4).alias("min_price"),
+        F.round("_mx", 4).alias("max_price"),
+        F.round("_med", 4).alias("median_price"),
+        F.round("_p90", 4).alias("p90_price"),
+        "n_rows",
+    )
+
+
 def pmi_collocations(
     docs: DataFrame, min_pair_count: int = 5, top_k: int = 20,
 ) -> DataFrame:
@@ -338,6 +514,7 @@ def pmi_collocations(
     top). Two aggregations (bigram counts, unigram counts) + a broadcast of
     the vocabulary-sized unigram table; deterministic top-k (pmi desc, pair
     asc). min_pair_count guards the low-count PMI blowup."""
+    docs = scan_parallel(docs)
     toks = docs.select(simple_tokens_col(F.lower("text")).alias("toks"))
     idx = F.sequence(F.lit(0), F.size("toks") - 2)
     bigrams = toks.filter(F.size("toks") >= 2).select(
@@ -382,6 +559,7 @@ def canonical_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
     host, path). Pure native string/regexp expressions (map-only, codegen);
     every regex is valid in both Java regex and RE2 so the DuckDB oracle
     replays it verbatim."""
+    pages = scan_parallel(pages)
     u = F.col(url_col)
     # scheme://host[:port] is case-insensitive; path/query are not
     head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
@@ -420,6 +598,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     back, per-doc top-k via a bounded window. At 100 TB the df table is
     vocabulary-sized (Zipf: millions, not trillions) and the window key is
     doc_id — no global sort anywhere."""
+    docs = scan_parallel(docs)
     spark = docs.sparkSession
     from pyspark.sql import Window
 
