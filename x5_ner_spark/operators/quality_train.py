@@ -157,7 +157,14 @@ def perplexity_labels(
     directions)."""
     from . import lm
 
-    scored = lm.lm_perplexity(docs.select("doc_id", F.col(text_col).alias("text")))
+    # persist the scored table: the percentile scalar and the label join
+    # both consume it, and without the pin the bigram-LM train+score
+    # pipeline runs TWICE end to end (ADVICE r8). The threshold action
+    # below materializes it; the returned frame reads the cached blocks.
+    # Unpersist is the caller's GC: the blocks are dropped with the plan.
+    scored = lm.lm_perplexity(
+        docs.select("doc_id", F.col(text_col).alias("text"))
+    ).persist()
     thr = scored.select(
         F.expr(f"percentile(nll, {float(keep_frac)!r})")
     ).first()[0]

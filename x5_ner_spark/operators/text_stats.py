@@ -598,6 +598,10 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     back, per-doc top-k via a bounded window. At 100 TB the df table is
     vocabulary-sized (Zipf: millions, not trillions) and the window key is
     doc_id — no global sort anywhere."""
+    # the scalar n_docs job counts the RAW input: routing it through the
+    # scan-parallelism valve would make it pay the repartition exchange of
+    # the whole corpus (measured +1.6 s at sf1.0 for an identical count)
+    n_docs = docs.select("doc_id").distinct().count()
     docs = scan_parallel(docs)
     spark = docs.sparkSession
     from pyspark.sql import Window
@@ -607,7 +611,6 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select("doc_id").distinct().count()
     idf = df_.select(
         "term",
         (F.log((float(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),

@@ -116,26 +116,31 @@ def _finish_local(e: DataFrame, rounds: int, resume_info: dict | None) -> DataFr
     src = pdf["src"].to_numpy(dtype=np.int64)
     dst = pdf["dst"].to_numpy(dtype=np.int64)
     nodes = np.unique(np.concatenate([src, dst]))
-    parent = list(range(len(nodes)))
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(
-        np.searchsorted(nodes, src).tolist(), np.searchsorted(nodes, dst).tolist()
-    ):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by MIN index; `nodes` is sorted, so root index == the
-            # component's minimum node id — the iterative path's labeling
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    comp = nodes[[find(i) for i in range(len(nodes))]]
+    a = np.searchsorted(nodes, src)
+    b = np.searchsorted(nodes, dst)
+    # vectorized min-label propagation + pointer jumping (r9): the former
+    # per-edge Python union-find loop was ~1 s at 1M edges — the dominant
+    # cost of the whole components query. Each round scatters the edge-wise
+    # min label to both endpoints (np.minimum.at) and then collapses label
+    # chains by repeated p ← p[p]; min is commutative so the fixed point is
+    # exactly "component = minimum node id" (identical to union-by-min),
+    # order-independent and deterministic. Rounds are O(log n) thanks to
+    # the pointer doubling; each is a handful of whole-array numpy ops.
+    p = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(p[a], p[b])
+        np.minimum.at(p, a, m)
+        np.minimum.at(p, b, m)
+        while True:
+            pp = p[p]
+            if np.array_equal(pp, p):
+                break
+            p = pp
+        if np.array_equal(np.minimum(p[a], p[b]), p[a]) and np.array_equal(
+            np.minimum(p[a], p[b]), p[b]
+        ):
+            break
+    comp = nodes[p]
     import pandas as pd
 
     return spark.createDataFrame(

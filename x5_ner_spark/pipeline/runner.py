@@ -217,7 +217,12 @@ def main() -> None:
              "over the input pages; saves OUT_NPZ (servable via "
              "--quality-npz) and exits",
     )
-    ap.add_argument("--train-iters", type=int, default=30)
+    ap.add_argument(
+        "--train-iters", type=int, default=None,
+        help="per-mode default: 30 (emission/crf), 60 (quality — the "
+             "iteration count the recorded calibration/accuracy numbers "
+             "were produced with; ADVICE r8)",
+    )
     ap.add_argument(
         "--train-lr", type=float, default=None,
         help="per-mode default: 0.8 (emission/crf), 2.0 (quality)",
@@ -279,8 +284,9 @@ def main() -> None:
             else QT.gopher_labels
         )
         hist: list = []
+        iters = args.train_iters if args.train_iters is not None else 60
         qw, qb = QT.fit_quality_classifier(
-            labeler(docs), iters=args.train_iters, lr=lr,
+            labeler(docs), iters=iters, lr=lr,
             loss_history=hist, ngrams=args.quality_ngrams,
         )
         saved = QT.save_quality_npz(
@@ -297,12 +303,13 @@ def main() -> None:
         from ..operators import emission_train as ET
 
         lr = args.train_lr if args.train_lr is not None else 0.8
+        iters = args.train_iters if args.train_iters is not None else 30
         docs = extract.run(pages).select("text")
         hist: list = []
         if args.fit_emission:
             saved = ET.fit_npz_emission(
                 ET.teacher_labels(docs), args.fit_emission,
-                iters=args.train_iters, lr=lr, loss_history=hist,
+                iters=iters, lr=lr, loss_history=hist,
             )
             print({"mode": "fit_emission", "out": saved,
                    "iters": len(hist), "loss_first": round(hist[0], 4),
@@ -310,7 +317,7 @@ def main() -> None:
         else:
             saved = ET.fit_crf_npz(
                 ET.teacher_sequences(docs), args.fit_crf,
-                iters=args.train_iters, lr=lr, loss_history=hist,
+                iters=iters, lr=lr, loss_history=hist,
             )
             print({"mode": "fit_crf", "out": saved,
                    "iters": len(hist), "loss_first": round(hist[0], 4),
