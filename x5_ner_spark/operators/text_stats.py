@@ -610,6 +610,17 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         "doc_id", F.explode(simple_tokens_col(F.lower("text"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the tf table feeds BOTH the idf build side and the scored probe side;
+    # without a pin the whole tokenize→explode→aggregate subtree executes
+    # twice (verified in the physical plan — no runtime exchange reuse
+    # fires across the broadcast boundary). A LAZY localCheckpoint
+    # materializes it once and both branches read the blocks. Deliberately
+    # NOT .persist(): the cache manager keys persisted plans canonically,
+    # so a repeated invocation of the same query would silently read the
+    # previous run's cache — cross-run result reuse the bench forbids. The
+    # checkpoint is tied to this DataFrame object and is recomputed by
+    # every invocation; blocks are dropped when the plan is GC'd.
+    tf = tf.localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_.select(
         "term",
