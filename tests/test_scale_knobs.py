@@ -136,7 +136,7 @@ def test_numeric_profile_histogram_matches_percentile_aggregate(spark):
     }
     rows = [(g, float(x)) for g, vs in cases.items() for x in vs]
     df = spark.createDataFrame(rows, "g string, v double")
-    hist = ts._exact_percentiles_histogram(df, "g", "v", (0.5, 0.9))
+    hist = ts._exact_percentiles_histogram(df, "g", "v", (0.5, 0.9), min_rows=0)
     assert hist is not None
     agg = df.groupBy("g").agg(
         F.round(F.min("v"), 4).alias("min_price"),
@@ -152,7 +152,7 @@ def test_numeric_profile_histogram_matches_percentile_aggregate(spark):
     assert sorted(map(tuple, hist.collect())) == sorted(map(tuple, agg.collect()))
     # null group key → fallback (None), handled by the public operator
     df2 = spark.createDataFrame([(None, 1.0), ("a", 2.0)], "g string, v double")
-    assert ts._exact_percentiles_histogram(df2, "g", "v", (0.5, 0.9)) is None
+    assert ts._exact_percentiles_histogram(df2, "g", "v", (0.5, 0.9), min_rows=0) is None
     prof = ts.numeric_profile(df2, "g", "v", exact=True).collect()
     assert len(prof) == 2
 
