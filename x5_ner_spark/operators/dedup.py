@@ -197,13 +197,20 @@ def _jaccard_pairs_bincount(d: DataFrame, k: int, threshold: float) -> DataFrame
     flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs])
     doc_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=doc_off[1:])
-    uniq, ginv = np.unique(flat, return_inverse=True)
-    # postings: doc indices per gid, ascending (stable sort keeps the
-    # doc-major order of `flat`)
-    po = np.argsort(ginv, kind="stable")
-    post_docs = np.repeat(np.arange(n, dtype=np.int32), lens)[po]
-    post_off = np.zeros(len(uniq) + 1, dtype=np.int64)
-    np.cumsum(np.bincount(ginv, minlength=len(uniq)), out=post_off[1:])
+    # postings from ONE stable sort of the flat hashes (np.unique +
+    # argsort(inverse) cost a second 2.6M-element sort on the driver —
+    # the load-sensitive single-threaded phase): equal hashes group
+    # together, and stability keeps the doc-major order of `flat`, so
+    # each posting lists docs ascending, exactly as before.
+    order = np.argsort(flat, kind="stable")
+    flat_sorted = flat[order]
+    post_docs = np.repeat(np.arange(n, dtype=np.int32), lens)[order]
+    change = np.empty(len(flat), dtype=bool)
+    change[0] = True
+    np.not_equal(flat_sorted[1:], flat_sorted[:-1], out=change[1:])
+    post_off = np.append(np.flatnonzero(change), len(flat)).astype(np.int64)
+    ginv = np.empty(len(flat), dtype=np.int64)
+    ginv[order] = np.cumsum(change) - 1
     bc = spark.sparkContext.broadcast({
         "doc_ids": doc_ids,
         "lens": lens,
